@@ -34,6 +34,34 @@ from ._solver import mlgk_solve, weight_by_p
 from .starting_probability import StartingProbability, Uniform, Adhoc
 
 
+def _kernel_structure(k):
+    """A hashable key describing a microkernel's expression-tree structure
+    (excluding hyperparameter values). Two kernels with equal structure
+    trace to identical XLA programs, so their jitted solvers can be
+    shared."""
+    if hasattr(k, 'kw_kernels'):
+        return (
+            'Composite', k.opstr,
+            tuple(
+                (key, _kernel_structure(sub))
+                for key, sub in k.kw_kernels.items()
+            )
+        )
+    name = k.name
+    if name in ('Add', 'Multiply', 'Exponentiation'):
+        return (name, _kernel_structure(k.k1), _kernel_structure(k.k2))
+    if name == 'Normalize':
+        return ('Normalize', _kernel_structure(k.kernel))
+    if name == 'Convolution':
+        return ('Convolution', bool(k.mean), _kernel_structure(k.kernel))
+    return (name, k.n_theta)
+
+
+#: structural key -> jitted solver; shared across kernel instances so that
+#: e.g. a hyperparameter sweep does not retrace per instance
+_GLOBAL_FN_CACHE = {}
+
+
 class MarginalizedGraphKernel:
     """Implements the random-walk-based graph similarity kernel proposed
     in Kashima, Tsuda & Inokuchi (ICML 2003) and accelerated per Tang &
@@ -138,10 +166,17 @@ class MarginalizedGraphKernel:
         )
 
     def _core_fn(self, nodal, grad):
-        """Build (and cache) the jitted batched solve for given traits."""
-        key = (bool(nodal), bool(grad), self.backend.mode)
-        if key in self._fn_cache:
-            return self._fn_cache[key]
+        """Build (and cache) the jitted batched solve for given traits.
+        Cached globally by kernel structure so that clones and sweeps with
+        different theta values share one compiled program."""
+        key = (
+            bool(nodal), bool(grad), self.backend.mode,
+            _kernel_structure(self.node_kernel),
+            _kernel_structure(self.edge_kernel),
+            type(self.p).__name__,
+        )
+        if key in _GLOBAL_FN_CACHE:
+            return _GLOBAL_FN_CACHE[key]
 
         knode = self.node_kernel
         kedge = self.edge_kernel
@@ -211,7 +246,7 @@ class MarginalizedGraphKernel:
         else:
             jitted = jax.jit(core, static_argnames=('lmin',))
 
-        self._fn_cache[key] = jitted
+        _GLOBAL_FN_CACHE[key] = jitted
         return jitted
 
     def _prepare_batch(self, graphs):

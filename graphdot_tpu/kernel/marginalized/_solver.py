@@ -34,6 +34,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# CG is run in float32: on TPU the MXU's default bf16 multiplication loses
+# ~3 decimal digits per matvec, which breaks the reference's 1e-5 accuracy
+# contract. HIGHEST forces the 6-pass f32 emulation on the MXU for the
+# solver's contractions only — the right default for an iterative solver.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _einsum(*args):
+    return jnp.einsum(
+        *args, precision=_PRECISION, preferred_element_type=jnp.float32
+    )
+
 # ---------------------------------------------------------------------------
 # feature pytree helpers
 # ---------------------------------------------------------------------------
@@ -241,10 +253,7 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
         W = jnp.broadcast_to(W, (P, n1, n1, n2, n2))
 
         def offdiag(Y):
-            return jnp.einsum(
-                'cijkl,cjl->cik', W, Y,
-                preferred_element_type=jnp.float32
-            )
+            return _einsum('cijkl,cjl->cik', W, Y)
     else:
         esrc1, edst1, ew1 = ops['esrc_1'], ops['edst_1'], ops['ew_1']
         esrc2, edst2, ew2 = ops['esrc_2'], ops['edst_2'], ops['ew_2']
@@ -267,15 +276,11 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
         oh_dst2 = jax.nn.one_hot(edst2, n2, dtype=jnp.float32)
 
         def offdiag(Y):
-            G = jnp.einsum('cen,cnk->cek', oh_dst1, Y,
-                           preferred_element_type=jnp.float32)
-            H = jnp.einsum('cek,cfk->cef', G, oh_dst2,
-                           preferred_element_type=jnp.float32)
+            G = _einsum('cen,cnk->cek', oh_dst1, Y)
+            H = _einsum('cek,cfk->cef', G, oh_dst2)
             Z = T * H
-            U = jnp.einsum('cef,cei->cif', Z, oh_src1,
-                           preferred_element_type=jnp.float32)
-            return jnp.einsum('cif,cfk->cik', U, oh_src2,
-                              preferred_element_type=jnp.float32)
+            U = _einsum('cef,cei->cif', Z, oh_src1)
+            return _einsum('cif,cfk->cik', U, oh_src2)
 
     diag_flat = diag_coef.reshape(P, N)
     precond_flat = precond_diag.reshape(P, N)

@@ -1,0 +1,333 @@
+"""MLGK solver correctness vs the dense CPU oracle.
+
+Replicates the reference test strategy
+(``test/kernel/marginalized/test_kernel.py``): case matrix of
+unlabeled / labeled / weighted / variable-length-feature graphs crossed
+with q in {0.01, 0.05, 0.1, 0.5}, checked for self-similarity, cross
+consistency, diagonal modes, permutation invariance, and
+finite-difference gradient agreement.
+"""
+import numpy as np
+import networkx as nx
+import pytest
+
+from graphdot_tpu import Graph
+from graphdot_tpu.kernel import MarginalizedGraphKernel
+from graphdot_tpu.microkernel import (
+    Additive,
+    Constant,
+    Convolution,
+    KroneckerDelta,
+    SquareExponential,
+    TensorProduct,
+)
+
+from oracle import mlgk, mlgk_pair
+
+
+def _nx(title, nodes, edges):
+    g = nx.Graph(title=title)
+    for n, attrs in nodes:
+        g.add_node(n, **attrs)
+    for u, v, attrs in edges:
+        g.add_edge(u, v, **attrs)
+    return g
+
+
+_g_unlabeled = [
+    _nx('U1', [(i, {}) for i in range(3)],
+        [(0, 1, {}), (0, 2, {})]),
+    _nx('U2', [(i, {}) for i in range(3)],
+        [(0, 1, {}), (0, 2, {}), (1, 2, {})]),
+]
+
+_g_labeled = [
+    _nx('L1',
+        [('O1', dict(category=2, charge=1.0)),
+         ('H1', dict(category=3, charge=-1.0)),
+         ('H2', dict(category=1, charge=2.0))],
+        [('O1', 'H1', dict(order=1, length=0.5)),
+         ('O1', 'H2', dict(order=2, length=1.0))]),
+    _nx('L2',
+        [('H1', dict(category=1, charge=1.0)),
+         ('H2', dict(category=1, charge=-1.0))],
+        [('H1', 'H2', dict(order=2, length=1.0))]),
+]
+
+_g_weighted = [
+    _nx('W1',
+        [('O1', dict(category=2)), ('H1', dict(category=3)),
+         ('H2', dict(category=1))],
+        [('O1', 'H1', dict(w=1.0, length=0.5)),
+         ('O1', 'H2', dict(w=2.0, length=1.0))]),
+    _nx('W2',
+        [('H1', dict(category=1)), ('H2', dict(category=1))],
+        [('H1', 'H2', dict(w=3.0, length=1.0))]),
+]
+
+_g_vario = [
+    _nx('V1',
+        [('O1', dict(rings=(5, 6))), ('H1', dict(rings=(3,))),
+         ('H2', dict(rings=(2, 3, 4)))],
+        [('O1', 'H1', dict(w=1.0, spectrum=(3, 4))),
+         ('O1', 'H2', dict(w=2.0, spectrum=(3, 5)))]),
+    _nx('V2',
+        [('H1', dict(rings=(3, 4))), ('H2', dict(rings=(3,)))],
+        [('H1', 'H2', dict(w=3.0, spectrum=(2, 4)))]),
+]
+
+
+def make_cases():
+    return {
+        'unlabeled': dict(
+            graphs=Graph.unify_datatype([
+                Graph.from_networkx(g) for g in _g_unlabeled
+            ]),
+            knode=Constant(1.0),
+            kedge=Constant(1.0),
+        ),
+        'labeled': dict(
+            graphs=Graph.unify_datatype([
+                Graph.from_networkx(g) for g in _g_labeled
+            ]),
+            knode=TensorProduct(
+                category=KroneckerDelta(0.3),
+                charge=SquareExponential(1.0) + 0.01
+            ).normalized,
+            kedge=Additive(
+                order=KroneckerDelta(0.3),
+                length=SquareExponential(0.05)
+            ).normalized,
+        ),
+        'weighted': dict(
+            graphs=Graph.unify_datatype([
+                Graph.from_networkx(g, weight='w') for g in _g_weighted
+            ]),
+            knode=TensorProduct(category=KroneckerDelta(0.3)),
+            kedge=TensorProduct(length=SquareExponential(0.05)),
+        ),
+        'vario': dict(
+            graphs=Graph.unify_datatype([
+                Graph.from_networkx(g, weight='w') for g in _g_vario
+            ]),
+            knode=TensorProduct(rings=Convolution(KroneckerDelta(0.3))),
+            kedge=TensorProduct(
+                spectrum=Convolution(SquareExponential(1.0))
+            ),
+        ),
+    }
+
+
+CASES = make_cases()
+QS = [0.01, 0.05, 0.1, 0.5]
+BACKENDS = ['dense', 'edge']
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+@pytest.mark.parametrize('case', CASES.keys())
+def test_self_similarity(case, backend):
+    c = CASES[case]
+    G = c['graphs']
+    for q in QS:
+        k = MarginalizedGraphKernel(
+            c['knode'], c['kedge'], q=q, backend=backend
+        )
+        R = k(G)
+        assert R.shape == (len(G), len(G))
+        assert np.allclose(R, R.T)
+        for idx in range(len(G)):
+            gnd = mlgk(G[idx], G[idx], c['knode'], c['kedge'], q)
+            assert R[idx, idx] == pytest.approx(gnd, rel=1e-4)
+        d = np.diag(R) ** -0.5
+        K = np.diag(d) @ R @ np.diag(d)
+        assert np.allclose(np.diag(K), 1, atol=1e-6)
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+@pytest.mark.parametrize('case', CASES.keys())
+def test_cross_similarity(case, backend):
+    c = CASES[case]
+    G = c['graphs']
+    for q in [0.05, 0.5]:
+        k = MarginalizedGraphKernel(
+            c['knode'], c['kedge'], q=q, backend=backend
+        )
+        R = k(G)
+        gnd = mlgk(G[0], G[1], c['knode'], c['kedge'], q)
+        assert R[0, 1] == pytest.approx(gnd, rel=1e-4)
+        # sub-matrix consistency
+        assert np.allclose(k(G[:1], G).ravel(), R[:1, :].ravel(),
+                           rtol=1e-5, atol=1e-7)
+        assert np.allclose(k(G, G[1:]).ravel(), R[:, 1:].ravel(),
+                           rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+@pytest.mark.parametrize('case', CASES.keys())
+def test_diag_modes(case, backend):
+    c = CASES[case]
+    G = c['graphs']
+    q = 0.1
+    k = MarginalizedGraphKernel(c['knode'], c['kedge'], q=q,
+                                backend=backend)
+    R = k(G)
+    D = k.diag(G)
+    assert len(D) == len(G)
+    assert np.allclose(D, np.diag(R), rtol=1e-6)
+
+    R_nodal = k(G, nodal=True)
+    sizes = [len(g.nodes) for g in G]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    assert R_nodal.shape == (starts[-1], starts[-1])
+    assert np.allclose(R_nodal, R_nodal.T, atol=1e-8)
+    for idx, g in enumerate(G):
+        gnd = mlgk_pair(g, g, c['knode'], c['kedge'], q)
+        sub = R_nodal[starts[idx]:starts[idx + 1],
+                      starts[idx]:starts[idx + 1]]
+        assert np.allclose(sub, gnd, rtol=1e-4, atol=1e-6)
+
+    D_nodal = k.diag(G, nodal=True)
+    assert len(D_nodal) == starts[-1]
+    assert np.allclose(D_nodal, np.diag(R_nodal), rtol=1e-6, atol=1e-8)
+
+    blocks = k.diag(G, nodal='block')
+    assert len(blocks) == len(G)
+    for idx in range(len(G)):
+        sub = R_nodal[starts[idx]:starts[idx + 1],
+                      starts[idx]:starts[idx + 1]]
+        assert np.allclose(blocks[idx], sub, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+@pytest.mark.parametrize('nodal', [False, True])
+@pytest.mark.parametrize('case', CASES.keys())
+def test_gradient(case, nodal, backend):
+    c = CASES[case]
+    G = c['graphs']
+    for q in [0.05, 0.5]:
+        k = MarginalizedGraphKernel(c['knode'], c['kedge'], q=q,
+                                    backend=backend)
+        R, dR = k(G, nodal=nodal, eval_gradient=True)
+        assert dR.ndim == 3
+        assert dR.shape[:2] == R.shape
+        assert dR.shape[2] == len(k.theta)
+
+        eps = 1e-3
+        for t in range(len(k.theta)):
+            theta0 = k.theta
+            tp = np.copy(theta0)
+            tp[t] += eps
+            k.theta = tp
+            Rp = k(G, nodal=nodal)
+            tm = np.copy(theta0)
+            tm[t] -= eps
+            k.theta = tm
+            Rm = k(G, nodal=nodal)
+            k.theta = theta0
+            dR_dt = (Rp - Rm) / (2 * eps) / np.exp(theta0[t])
+            assert np.allclose(dR[:, :, t], dR_dt, rtol=0.05, atol=0.05), \
+                f'{case} q={q} theta[{t}]'
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+def test_lmin(backend):
+    c = CASES['labeled']
+    G = c['graphs']
+    q = 0.1
+    k = MarginalizedGraphKernel(c['knode'], c['kedge'], q=q,
+                                backend=backend)
+    R = k(G, lmin=1)
+    gnd = mlgk(G[0], G[1], c['knode'], c['kedge'], q, lmin=1)
+    assert R[0, 1] == pytest.approx(gnd, rel=1e-4, abs=1e-6)
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+def test_permutation_invariance(backend):
+    c = CASES['labeled']
+    G = c['graphs']
+    q = 0.1
+    k = MarginalizedGraphKernel(c['knode'], c['kedge'], q=q,
+                                backend=backend)
+    R = k(G)
+    perm = [2, 0, 1]
+    G2 = [G[0].permute(perm), G[1]]
+    R2 = k(G2)
+    assert np.allclose(R, R2, rtol=1e-5)
+
+
+def test_typecheck():
+    knode = Constant(1.0)
+    kedge = Constant(1.0)
+    k = MarginalizedGraphKernel(knode, kedge, q=0.5)
+    g_u = Graph.from_networkx(_g_unlabeled[0])
+    g_l = Graph.from_networkx(_g_labeled[0])
+    with pytest.raises(TypeError):
+        k([g_u, g_l])
+
+
+def test_self_loops():
+    g = nx.Graph(title='SL')
+    g.add_nodes_from([0, 1])
+    g.add_edge(0, 0)
+    g.add_edge(0, 1)
+    G = [Graph.from_networkx(g)]
+    for backend in BACKENDS:
+        k = MarginalizedGraphKernel(Constant(1.0), Constant(1.0), q=0.2,
+                                    backend=backend)
+        R = k(G)
+        gnd = mlgk(G[0], G[0], Constant(1.0), Constant(1.0), 0.2)
+        assert R[0, 0] == pytest.approx(gnd, rel=1e-4)
+
+
+def test_fixed_hyperparameters_excluded():
+    knode = TensorProduct(category=KroneckerDelta(0.3, h_bounds='fixed'))
+    kedge = TensorProduct(length=SquareExponential(0.05))
+    k = MarginalizedGraphKernel(knode, kedge, q=0.1)
+    # active: p, q, length_scale (category h is fixed)
+    assert len(k.theta) == 3
+    R, dR = k(CASES['weighted']['graphs'], eval_gradient=True)
+    assert dR.shape[2] == 3
+
+
+def test_starting_probability():
+    from graphdot_tpu.kernel.marginalized import Uniform
+    c = CASES['unlabeled']
+    G = c['graphs']
+    q = 0.2
+    k1 = MarginalizedGraphKernel(c['knode'], c['kedge'], p=1.0, q=q)
+    k2 = MarginalizedGraphKernel(c['knode'], c['kedge'], p=Uniform(2.0),
+                                 q=q)
+    assert np.allclose(4 * k1(G), k2(G), rtol=1e-6)
+    # adhoc starting probability
+    k3 = MarginalizedGraphKernel(
+        c['knode'], c['kedge'],
+        p=(lambda nodes: 2.0 * np.ones(len(nodes)), '2.0f'), q=q
+    )
+    assert np.allclose(k2(G), k3(G), rtol=1e-6)
+
+
+def test_large_random_batch():
+    rng = np.random.default_rng(0)
+    graphs = []
+    for i in range(10):
+        n = int(rng.integers(4, 12))
+        g = nx.newman_watts_strogatz_graph(n, 3, 0.2, seed=int(i))
+        nx.set_node_attributes(
+            g, {k: float(rng.normal()) for k in g.nodes}, 'x'
+        )
+        nx.set_edge_attributes(
+            g, {e: float(rng.uniform(0.5, 1.5)) for e in g.edges}, 'length'
+        )
+        graphs.append(Graph.from_networkx(g))
+    graphs = Graph.unify_datatype(graphs)
+    knode = TensorProduct(x=SquareExponential(1.0) + 0.01)
+    kedge = TensorProduct(length=SquareExponential(0.5) + 0.01)
+    k = MarginalizedGraphKernel(knode, kedge, q=0.1)
+    R = k(graphs)
+    assert R.shape == (10, 10)
+    assert np.allclose(R, R.T)
+    assert np.all(np.diag(R) > 0)
+    # spot check two pairs against the oracle
+    for (a, b) in [(0, 0), (2, 7)]:
+        gnd = mlgk(graphs[a], graphs[b], knode, kedge, 0.1)
+        assert R[a, b] == pytest.approx(gnd, rel=1e-3)
