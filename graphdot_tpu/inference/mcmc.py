@@ -1,0 +1,197 @@
+"""MCMC driver: multi-chain NUTS/HMC with Stan-style warmup windows.
+
+Chains are a leading vmap axis; under a device mesh the same code runs with
+chains sharded across chips (see ``graphdot_tpu.parallel``) — adaptation
+statistics are pooled across chains by plain means, which lower to psum
+collectives when sharded.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dual_averaging import (
+    da_init, da_update, welford_init, welford_update, welford_variance
+)
+from .hmc import hmc_init, hmc_step
+from .nuts import nuts_step
+
+
+def _transition(algorithm, max_depth, n_leapfrog):
+    if algorithm == 'nuts':
+        def step(rng, state, logp_fn, step_size, inv_mass):
+            return nuts_step(
+                rng, state, logp_fn, step_size, inv_mass,
+                max_depth=max_depth
+            )
+    elif algorithm == 'hmc':
+        def step(rng, state, logp_fn, step_size, inv_mass):
+            return hmc_step(
+                rng, state, logp_fn, step_size, inv_mass, n_leapfrog
+            )
+    else:
+        raise ValueError(f'Unknown algorithm {algorithm!r}')
+    return step
+
+
+def _find_reasonable_step_size(logp_fn, state, inv_mass, rng):
+    """Crude bracketing of an initial step size via one-step energy error
+    (Hoffman & Gelman 2014, Alg. 4 in spirit)."""
+    from .nuts import _Leaf, _leapfrog1, _energy
+    logp_and_grad = jax.value_and_grad(logp_fn)
+    p0 = jax.random.normal(rng, state.q.shape) / jnp.sqrt(inv_mass)
+    z0 = _Leaf(q=state.q, p=p0, grad=state.grad, logp=state.logp)
+    h0 = _energy(z0, inv_mass)
+
+    def err(eps):
+        z = _leapfrog1(logp_and_grad, z0, eps, inv_mass)
+        h = _energy(z, inv_mass)
+        return jnp.where(jnp.isnan(h), jnp.inf, h) - h0
+
+    def cond(c):
+        eps, it = c
+        e = err(eps)
+        return (e > np.log(2.0)) & (it < 30)
+
+    def body(c):
+        eps, it = c
+        return (eps * 0.5, it + 1)
+
+    eps, _ = jax.lax.while_loop(cond, body, (jnp.float32(1.0), 0))
+    return eps
+
+
+def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
+           init=None, algorithm='nuts', max_depth=8, n_leapfrog=32,
+           target_accept=0.8, init_jitter=1.0, thin=1):
+    """Run multi-chain MCMC over ``logp_fn``.
+
+    Parameters
+    ----------
+    logp_fn: callable [D] -> scalar log density.
+    rng: jax PRNG key.
+    init: [D] or [n_chains, D] initial positions.
+    algorithm: 'nuts' or 'hmc'.
+
+    Returns
+    -------
+    dict with 'samples' [n_chains, n_samples, D], 'logp', 'accept_prob',
+    'divergent', 'step_size', 'inv_mass'.
+    """
+    init = jnp.atleast_1d(jnp.asarray(init, dtype=jnp.float32))
+    D = init.shape[-1]
+    k_init, k_warm, k_sample, k_eps = jax.random.split(rng, 4)
+    if init.ndim == 1:
+        init = init[None, :] + init_jitter * jax.random.normal(
+            k_init, (n_chains, D)
+        )
+
+    step = _transition(algorithm, max_depth, n_leapfrog)
+    states = jax.vmap(lambda q: hmc_init(logp_fn, q))(init)
+
+    inv_mass = jnp.ones(D)
+    eps0 = _find_reasonable_step_size(
+        logp_fn,
+        jax.tree_util.tree_map(lambda a: a[0], states),
+        inv_mass, k_eps
+    )
+
+    @partial(jax.jit, static_argnames=('n_steps', 'adapt_mass'))
+    def run_window(rng, states, da, welford, inv_mass, n_steps,
+                   adapt_mass):
+        def one(carry, i):
+            states, da, welford = carry
+            keys = jax.random.split(
+                jax.random.fold_in(rng, i), states.q.shape[0]
+            )
+            eps = jnp.exp(da.log_step)
+            new_states, infos = jax.vmap(
+                lambda k, s: step(k, s, logp_fn, eps, inv_mass)
+            )(keys, states)
+            da = da_update(
+                da, jnp.mean(infos['accept_prob']), target=target_accept
+            )
+            if adapt_mass:
+                welford = jax.vmap(welford_update)(welford, new_states.q)
+            return (new_states, da, welford), None
+
+        (states, da, welford), _ = jax.lax.scan(
+            one, (states, da, welford), jnp.arange(n_steps)
+        )
+        return states, da, welford
+
+    # Stan-style windows: 15% fast / doubling slow windows / 10% fast
+    n_fast1 = max(1, int(0.15 * n_warmup))
+    n_fast2 = max(1, int(0.10 * n_warmup))
+    n_slow = max(1, n_warmup - n_fast1 - n_fast2)
+    windows = []
+    w = max(10, n_slow // 8)
+    remaining = n_slow
+    while remaining > 0:
+        take = min(w, remaining)
+        # absorb a too-small trailing window
+        if remaining - take < 10:
+            take = remaining
+        windows.append(take)
+        w *= 2
+        remaining -= take
+
+    da = da_init(eps0)
+    welford = jax.vmap(lambda _: welford_init(D))(jnp.arange(n_chains))
+
+    states, da, welford = run_window(
+        jax.random.fold_in(k_warm, 0), states, da, welford, inv_mass,
+        n_steps=n_fast1, adapt_mass=False
+    )
+    for wi, wn in enumerate(windows):
+        states, da, welford = run_window(
+            jax.random.fold_in(k_warm, 1 + wi), states, da, welford,
+            inv_mass, n_steps=wn, adapt_mass=True
+        )
+        var = jnp.mean(
+            jax.vmap(welford_variance)(welford), axis=0
+        )
+        inv_mass = 1.0 / var
+        welford = jax.vmap(lambda _: welford_init(D))(
+            jnp.arange(n_chains)
+        )
+        da = da_init(jnp.exp(da.log_step_avg))
+    states, da, welford = run_window(
+        jax.random.fold_in(k_warm, 999), states, da, welford, inv_mass,
+        n_steps=n_fast2, adapt_mass=False
+    )
+    step_size = jnp.exp(da.log_step_avg)
+
+    @partial(jax.jit, static_argnames=('n', 'thin'))
+    def run_sampling(rng, states, n, thin):
+        def one(states, i):
+            def sub(states, j):
+                keys = jax.random.split(
+                    jax.random.fold_in(rng, i * thin + j),
+                    states.q.shape[0]
+                )
+                new_states, infos = jax.vmap(
+                    lambda k, s: step(k, s, logp_fn, step_size, inv_mass)
+                )(keys, states)
+                return new_states, infos
+            states, infos = jax.lax.scan(
+                sub, states, jnp.arange(thin)
+            )
+            infos = jax.tree_util.tree_map(lambda a: a[-1], infos)
+            return states, (states.q, states.logp, infos)
+
+        states, (qs, logps, infos) = jax.lax.scan(
+            one, states, jnp.arange(n)
+        )
+        return qs, logps, infos
+
+    qs, logps, infos = run_sampling(k_sample, states, n_samples, thin)
+    return {
+        'samples': jnp.swapaxes(qs, 0, 1),      # [chains, samples, D]
+        'logp': jnp.swapaxes(logps, 0, 1),
+        'accept_prob': jnp.swapaxes(infos['accept_prob'], 0, 1),
+        'divergent': jnp.swapaxes(infos['divergent'], 0, 1),
+        'step_size': step_size,
+        'inv_mass': inv_mass,
+    }
