@@ -59,6 +59,10 @@ def pack_graph(g):
         return g.cookie[_COOKIE_KEY]
 
     n = len(g.nodes)
+    # row r of the node frame describes node index g.nodes['!i'][r]
+    # (permutations only rewrite the '!i'/'!j' columns); order features by
+    # node index.
+    node_order = np.argsort(np.asarray(g.nodes['!i'], dtype=np.int64))
     ei = np.asarray(g.edges['!i'], dtype=np.int64)
     ej = np.asarray(g.edges['!j'], dtype=np.int64)
     w = (np.asarray(g.edges['!w'], dtype=np.float32) if '!w' in g.edges
@@ -73,7 +77,7 @@ def pack_graph(g):
     for key in g.nodes.columns:
         if key.startswith('!'):
             continue
-        col = g.nodes[key]
+        col = g.nodes[key][node_order]
         if _is_object_column(col):
             L = max((len(v) for v in col), default=1)
             vals = np.zeros((n, L), dtype=np.float32)

@@ -73,9 +73,10 @@ class GramFactory:
         if isinstance(kernel.p, Adhoc):
             pf = np.zeros((n, self._n_pad), dtype=np.float32)
             for b, g in enumerate(self.graphs):
-                pf[b, :len(g.nodes)] = np.asarray(
-                    kernel.p(g.nodes), dtype=np.float32
-                )
+                p_values, _ = kernel.p(g.nodes)
+                p_values = np.asarray(p_values, dtype=np.float32)
+                order = np.argsort(np.asarray(g.nodes['!i']))
+                pf[b, :len(g.nodes)] = p_values[order]
             self._p_fixed = jnp.asarray(pf)
 
         self._n_p = len(list(flatten(kernel.p.theta)))

@@ -276,9 +276,11 @@ class MarginalizedGraphKernel:
             n_pad = batch.node_mask.shape[1]
             p_fixed = np.zeros((len(graphs), n_pad), dtype=np.float32)
             for b, g in enumerate(graphs):
-                p_fixed[b, :len(g.nodes)] = np.asarray(
-                    self.p(g.nodes), dtype=np.float32
-                )
+                p_values, _ = self.p(g.nodes)
+                p_values = np.asarray(p_values, dtype=np.float32)
+                # frame rows -> node-index order (matches pack_graph)
+                order = np.argsort(np.asarray(g.nodes['!i']))
+                p_fixed[b, :len(g.nodes)] = p_values[order]
             p_fixed = jnp.asarray(p_fixed)
         return batch, batch_dict, p_fixed
 
