@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: marginalized-graph-kernel Gram-build throughput on one chip.
+
+Mirrors the reference's benchmark workload
+(``benchmark/kernel/marginalized/time_kernel.py`` /
+``example/perfbench/molecule-cookie-cutter.py``): a batch of molecule-like
+graphs, full upper-triangular Gram matrix with the Tang2019-style
+element/length kernel, steady-state timing (compile excluded).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference repo publishes no absolute numbers (BASELINE.md), so
+vs_baseline is reported as 1.0 by convention.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from graphdot_tpu.inference import GramFactory
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.testing import random_molecule_set
+
+    n_graphs = 128
+    graphs = random_molecule_set(42, n_graphs, n_atoms_range=(9, 24))
+    n_pairs = n_graphs * (n_graphs + 1) // 2
+
+    kernel = MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.2)),
+        TensorProduct(length=SquareExponential(0.3)),
+        q=0.05,
+    )
+    factory = GramFactory(kernel, graphs, normalize=True)
+    theta0 = jnp.asarray(factory.theta0, dtype=jnp.float32)
+
+    gram = jax.jit(factory.gram)
+    # warm up / compile
+    K = gram(theta0)
+    K.block_until_ready()
+    assert np.all(np.isfinite(np.asarray(K))), 'non-finite Gram entries'
+
+    # steady-state timing; perturb theta so no caching tricks apply
+    n_rep = 5
+    times = []
+    for i in range(n_rep):
+        t = theta0 + 1e-4 * i
+        t0 = time.perf_counter()
+        gram(t).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    pairs_per_sec = n_pairs / dt
+
+    print(json.dumps({
+        'metric': 'graph-pairs/s/chip (Gram build, 128 molecules, '
+                  'Tang2019 kernel)',
+        'value': round(pairs_per_sec, 1),
+        'unit': 'pairs/s',
+        'vs_baseline': 1.0,
+    }))
+    print(
+        f'# details: {n_pairs} pairs in {dt * 1e3:.1f} ms/call, '
+        f'platform={jax.devices()[0].platform}, '
+        f'device={jax.devices()[0].device_kind}',
+        file=sys.stderr
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -10,6 +10,10 @@ class Tree(DataFrame):
             self.__dict__.update(tree=tree, i=i)
 
         def __getattr__(self, key):
+            if key.startswith('__'):
+                # numpy and pickle probe dunder attributes on arbitrary
+                # objects; never forward those to tree columns
+                raise AttributeError(key)
             return self.tree[key][self.i]
 
         def __setattr__(self, key, val):

