@@ -9,6 +9,9 @@ The TPU build has a single JAX/XLA backend with two matvec strategies:
 - ``'dense'``: dense product-graph coupling tensor — one big contraction
   per CG iteration, O(n1^2 n2^2); the direct transcription of the CPU
   oracle, used for validation and tiny graphs.
+- ``'pallas'``: the edge-factored operands with the whole PCG loop fused
+  into a single VMEM-resident Pallas kernel per block of pairs (the
+  counterpart of the reference's one-kernel CUDA solver).
 """
 
 
@@ -16,7 +19,7 @@ class Backend:
     """Computing engine that solves the marginalized graph kernel's
     generalized Laplacian equation."""
 
-    MODES = ('edge', 'dense')
+    MODES = ('edge', 'dense', 'pallas')
 
     def __init__(self, mode='edge'):
         if mode not in self.MODES:

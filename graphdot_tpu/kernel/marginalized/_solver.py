@@ -166,13 +166,21 @@ def pcg(matvec, b, precond, tol, maxiter):
     return x
 
 
-def solve_linear(matvec, b, precond, tol, maxiter):
+def solve_linear(matvec, b, precond, tol, maxiter, solve_impl=None):
     """Solve the symmetric product-graph system with implicit-function
     gradients (the analogue of the reference's analytic adjoint path,
-    ``marginalized_kernel.h:492-997``)."""
+    ``marginalized_kernel.h:492-997``).
+
+    ``solve_impl`` optionally overrides the primal/tangent solver (e.g.
+    the fused Pallas PCG); the XLA matvec is still what gets
+    differentiated.
+    """
+    if solve_impl is None:
+        def solve_impl(bb):
+            return pcg(matvec, bb, precond, tol, maxiter)
     return lax.custom_linear_solve(
         matvec, b,
-        solve=lambda mv, bb: pcg(mv, bb, precond, tol, maxiter),
+        solve=lambda mv, bb: solve_impl(bb),
         symmetric=True,
     )
 
@@ -239,6 +247,7 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     precond_diag = jnp.where(ok, Vx / jnp.where(ok, dx, 1.0), 1.0)
     b = jnp.where(ok, dx, 0.0)
 
+    solve_impl = None
     if mode == 'dense':
         adj1, adj2 = ops['adj_1'], ops['adj_2']
         raw_ef1, raw_ef2 = ops['edge_feats_1'], ops['edge_feats_2']
@@ -294,7 +303,19 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     n_true = jnp.sum(mask1, axis=1) * jnp.sum(mask2, axis=1)
     tol = ops['ftol'] * n_true
 
-    x = solve_linear(matvec, b_flat, precond_flat, tol, maxiter)
+    if mode == 'pallas':
+        # primal/tangent solves run in the fused VMEM-resident kernel;
+        # the XLA matvec above is still what autodiff differentiates.
+        from ...ops.pallas_pcg import pallas_pcg_solver
+        solve_impl = pallas_pcg_solver(
+            T, oh_src1, oh_dst1, oh_src2, oh_dst2,
+            diag_coef, precond_diag, tol, maxiter
+        )
+
+    x = solve_linear(
+        matvec, b_flat, precond_flat, tol, maxiter,
+        solve_impl=solve_impl
+    )
     x = x.reshape(P, n1, n2)
 
     if lmin == 1:

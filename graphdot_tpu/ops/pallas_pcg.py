@@ -1,0 +1,209 @@
+"""Fused product-graph PCG in Pallas — the TPU counterpart of the
+reference's single-kernel CUDA solver
+(``graphdot/cpp/marginalized_kernel.h:189-490``).
+
+The XLA path re-reads the per-pair edge-coupling matrix ``T`` (and the
+incidence one-hots) from HBM on every CG iteration; this kernel instead
+grids over blocks of pairs, loads each block's operands into VMEM once,
+and runs the entire Jacobi-PCG loop in VMEM — HBM traffic drops from
+O(iterations x P x M^2) to O(P x M^2), the same trick as the reference's
+shared-memory octile cache but at block-of-pairs granularity.
+
+The matvec is the edge-factored form used by the XLA backend:
+``out = diag * Y - S1 (T o (D1 Y D2^T)) S2^T`` with one-hot incidence
+matrices, i.e. four MXU contractions per iteration, batched over the pair
+block.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PREC = lax.Precision.HIGHEST
+
+
+def _bdot(a, b, transpose_b=False):
+    """Batched matmul [B, m, k] @ [B, k, n] (optionally b transposed)."""
+    if transpose_b:
+        dn = (((2,), (2,)), ((0,), (0,)))
+    else:
+        dn = (((2,), (1,)), ((0,), (0,)))
+    return lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=_PREC
+    )
+
+
+def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
+                diag_ref, precond_ref, b_ref, tol_ref, maxiter_ref,
+                x_ref):
+    T = T_ref[:]
+    ohs1 = ohs1_ref[:]
+    ohd1 = ohd1_ref[:]
+    ohs2 = ohs2_ref[:]
+    ohd2 = ohd2_ref[:]
+    diag = diag_ref[:]
+    precond = precond_ref[:]
+    b = b_ref[:]
+    tol = tol_ref[:]
+    maxiter = maxiter_ref[0]
+
+    def matvec(Y):
+        # G[e1, i2] = sum_j1 D1[e1, j1] Y[j1, i2]
+        G = _bdot(ohd1, Y)
+        # H[e1, e2] = sum_i2 G[e1, i2] D2[e2, i2]
+        H = _bdot(G, ohd2, transpose_b=True)
+        Z = T * H
+        # U[i1, e2] = sum_e1 S1[e1, i1] Z[e1, e2]
+        U = lax.dot_general(
+            Z, ohs1, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_PREC
+        )  # [B, e2, i1]
+        # out[i1, i2] = sum_e2 U[e2, i1] S2[e2, i2]
+        off = lax.dot_general(
+            U, ohs2, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_PREC
+        )  # [B, i1, i2]
+        return diag * Y - off
+
+    def pair_sum(a):
+        return jnp.sum(a, axis=(1, 2))
+
+    z0 = precond * b
+    rr0 = pair_sum(b * b)
+    done0 = jnp.sqrt(rr0) < tol
+    state0 = (
+        jnp.zeros_like(b),        # x
+        b,                        # r
+        z0,                       # p
+        pair_sum(b * z0),         # rz
+        done0,
+        jnp.int32(0),
+    )
+
+    def cond(state):
+        _, _, _, _, done, it = state
+        return (it < maxiter) & jnp.any(~done)
+
+    def body(state):
+        x, r, p, rz, done, it = state
+        Ap = matvec(p)
+        pAp = pair_sum(p * Ap)
+        bad = (pAp == 0.0) | (rz == 0.0)
+        step = ~(done | bad)
+        alpha = jnp.where(
+            step, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0
+        )
+        x = x + alpha[:, None, None] * p
+        r = r - alpha[:, None, None] * Ap
+        z = precond * r
+        rz_new = pair_sum(r * z)
+        rr = pair_sum(r * r)
+        done_new = done | bad | (jnp.sqrt(rr) < tol)
+        beta = jnp.where(
+            done_new, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
+        )
+        p = z + beta[:, None, None] * p
+        rz = jnp.where(done_new, rz, rz_new)
+        return (x, r, p, rz, done_new, it + 1)
+
+    x, _, _, _, _, _ = lax.while_loop(cond, body, state0)
+    x_ref[:] = x
+
+
+def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
+                      maxiter):
+    """Returns a ``solve(b_flat)`` closure over the system operands, for
+    use as the primal/tangent solver inside ``lax.custom_linear_solve``.
+    Handles pair-count padding and CPU interpret mode transparently."""
+    P, M, _ = T.shape
+    N = diag.shape[-1]
+    bytes_per_pair = 4 * (M * M + 4 * M * N + 10 * N * N)
+    B = int(max(1, min(32, (4 << 20) // max(bytes_per_pair, 1))))
+    P_pad = -(-P // B) * B
+    interpret = jax.default_backend() != 'tpu'
+
+    def _pad(a):
+        return jnp.pad(a, [(0, P_pad - P)] + [(0, 0)] * (a.ndim - 1))
+
+    ops = tuple(_pad(a) for a in (T, ohs1, ohd1, ohs2, ohd2,
+                                  diag, precond))
+    tol_p = jnp.pad(tol, (0, P_pad - P), constant_values=1.0)
+
+    def solve(b_flat):
+        b = _pad(b_flat.reshape(P, N, N))
+        x = pallas_pcg(
+            *ops[:5], ops[5], ops[6], b, tol_p,
+            block_pairs=B, maxiter=maxiter, interpret=interpret
+        )
+        return x[:P].reshape(P, N * N)
+
+    return solve
+
+
+@functools.partial(
+    jax.jit, static_argnames=('block_pairs', 'maxiter', 'interpret')
+)
+def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
+               block_pairs=8, maxiter=1024, interpret=False):
+    """Solve the batched product-graph systems with the fused kernel.
+
+    Parameters
+    ----------
+    T: [P, M, M] edge-coupling matrices (zero rows/cols for padding).
+    ohs1, ohd1, ohs2, ohd2: [P, M, N] one-hot incidence matrices.
+    diag, precond, b: [P, N, N] diagonal coefficient, Jacobi
+        preconditioner, and right-hand side on the product space.
+    tol: [P] absolute residual-norm thresholds.
+    block_pairs: pairs per Pallas program (VMEM working set knob).
+    maxiter: static CG iteration bound.
+
+    Returns
+    -------
+    x: [P, N, N]
+    """
+    P, M, _ = T.shape
+    N = diag.shape[-1]
+    B = block_pairs
+    assert P % B == 0, f'P={P} not a multiple of block_pairs={B}'
+    grid = (P // B,)
+
+    def specs(shape):
+        return pl.BlockSpec(
+            (B, *shape), lambda i: (i, *([0] * len(shape))),
+            memory_space=pltpu.VMEM
+        )
+
+    maxiter_arr = jnp.full((1,), maxiter, dtype=jnp.int32)
+
+    flops_matvec = 2 * B * (2 * M * N * N + M * M * N + N * M * M
+                            + N * N * M)
+
+    return pl.pallas_call(
+        _pcg_kernel,
+        grid=grid,
+        in_specs=[
+            specs((M, M)),           # T
+            specs((M, N)),           # ohs1
+            specs((M, N)),           # ohd1
+            specs((M, N)),           # ohs2
+            specs((M, N)),           # ohd2
+            specs((N, N)),           # diag
+            specs((N, N)),           # precond
+            specs((N, N)),           # b
+            pl.BlockSpec((B,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),  # tol
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # maxiter
+        ],
+        out_specs=specs((N, N)),
+        out_shape=jax.ShapeDtypeStruct((P, N, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_matvec * 64,
+            bytes_accessed=4 * B * (M * M + 4 * M * N + 4 * N * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol, maxiter_arr)
