@@ -161,8 +161,77 @@ def _pad_leaf(arr, shape):
     return np.pad(arr, pads)
 
 
+def _batch_graphs_native(graphs, n_pad, m_pad):
+    """Fast path: pack the whole batch with the native C++ packer (scalar
+    features only). Returns a GraphBatch or None if inapplicable."""
+    from .. import native
+    if not native.available():
+        return None
+    for g in graphs:
+        for frame in (g.nodes, g.edges):
+            for key in frame.columns:
+                if not key.startswith('!') and \
+                        _is_object_column(frame[key]):
+                    return None
+
+    B = len(graphs)
+    n_nodes = np.array([len(g.nodes) for g in graphs], dtype=np.int32)
+    eis, ejs, ews, counts = [], [], [], []
+    for g in graphs:
+        eis.append(np.asarray(g.edges['!i'], dtype=np.int32))
+        ejs.append(np.asarray(g.edges['!j'], dtype=np.int32))
+        ews.append(
+            np.asarray(g.edges['!w'], dtype=np.float32)
+            if '!w' in g.edges
+            else np.ones(len(g.edges), dtype=np.float32)
+        )
+        counts.append(len(eis[-1]))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    ei = np.concatenate(eis) if eis else np.zeros(0, np.int32)
+    ej = np.concatenate(ejs) if ejs else np.zeros(0, np.int32)
+    ew = np.concatenate(ews) if ews else np.zeros(0, np.float32)
+
+    out = native.pack_batch(n_nodes, offsets, ei, ej, ew, n_pad, m_pad)
+    if out is None:
+        return None
+    adj, degree, node_mask, esrc, edst, ew_out, n_edge = out
+
+    node_feats = {}
+    for key in graphs[0].nodes.columns:
+        if key.startswith('!'):
+            continue
+        col = np.zeros((B, n_pad), dtype=np.float32)
+        for b, g in enumerate(graphs):
+            order = np.argsort(np.asarray(g.nodes['!i'], dtype=np.int64))
+            col[b, :len(g.nodes)] = np.asarray(
+                g.nodes[key], dtype=np.float32
+            )[order]
+        node_feats[key] = col
+
+    edge_feats = {}
+    edge_elist_feats = {}
+    for key in graphs[0].edges.columns:
+        if key.startswith('!'):
+            continue
+        vals = np.concatenate([
+            np.asarray(g.edges[key], dtype=np.float32) for g in graphs
+        ])
+        mat, elist = native.pack_edge_feature(
+            offsets, ei, ej, vals, B, n_pad, m_pad
+        )
+        edge_feats[key] = mat
+        edge_elist_feats[key] = elist
+
+    return GraphBatch(
+        n_node=n_nodes, node_mask=node_mask, adj=adj, degree=degree,
+        node_feats=node_feats, edge_feats=edge_feats,
+        esrc=esrc, edst=edst, ew=ew_out, n_edge=n_edge,
+        edge_elist_feats=edge_elist_feats
+    )
+
+
 def batch_graphs(graphs, n_pad=None, m_pad=None, node_align=8,
-                 edge_align=8):
+                 edge_align=8, use_native=True):
     """Stack a list of graphs into one padded GraphBatch (numpy arrays).
 
     Parameters
@@ -173,6 +242,18 @@ def batch_graphs(graphs, n_pad=None, m_pad=None, node_align=8,
         default. Pass shared values across calls to maximize XLA
         compilation cache hits.
     """
+    if use_native:
+        n_max = max(len(g.nodes) for g in graphs)
+        # directed edges: 2 per off-diagonal undirected edge
+        m_max = max(2 * len(g.edges) for g in graphs)
+        native_batch = _batch_graphs_native(
+            graphs,
+            n_pad or _round_up(n_max, node_align),
+            m_pad or _round_up(m_max, edge_align),
+        )
+        if native_batch is not None:
+            return native_batch
+
     packed = [pack_graph(g) for g in graphs]
     B = len(packed)
     n_max = max(p.n for p in packed)
