@@ -48,7 +48,7 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
     diag = diag_ref[:]
     precond = precond_ref[:]
     b = b_ref[:]
-    tol = tol_ref[:]
+    tol = tol_ref[:, 0]  # [B, 128] lane-replicated -> [B]
     maxiter = maxiter_ref[0]
 
     def matvec(Y):
@@ -178,6 +178,7 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
         )
 
     maxiter_arr = jnp.full((1,), maxiter, dtype=jnp.int32)
+    tol = jnp.broadcast_to(tol[:, None], (P, 128))
 
     flops_matvec = 2 * B * (2 * M * N * N + M * M * N + N * M * M
                             + N * N * M)
@@ -194,8 +195,8 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
             specs((N, N)),           # diag
             specs((N, N)),           # precond
             specs((N, N)),           # b
-            pl.BlockSpec((B,), lambda i: (i,),
-                         memory_space=pltpu.VMEM),  # tol
+            pl.BlockSpec((B, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # tol (lane-replicated)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # maxiter
         ],
         out_specs=specs((N, N)),
