@@ -64,7 +64,8 @@ def _find_reasonable_step_size(logp_fn, state, inv_mass, rng):
 
 def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
            init=None, algorithm='nuts', max_depth=8, n_leapfrog=32,
-           target_accept=0.8, init_jitter=1.0, thin=1):
+           target_accept=0.8, init_jitter=1.0, thin=1, mesh=None,
+           chain_axis='chains'):
     """Run multi-chain MCMC over ``logp_fn``.
 
     Parameters
@@ -73,6 +74,10 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
     rng: jax PRNG key.
     init: [D] or [n_chains, D] initial positions.
     algorithm: 'nuts' or 'hmc'.
+    mesh: optional jax.sharding.Mesh — chains are sharded along
+        ``chain_axis`` and each device advances its chains locally, with
+        adaptation statistics pooled by cross-chain means (lowered to
+        psum collectives).
 
     Returns
     -------
@@ -85,6 +90,16 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
     if init.ndim == 1:
         init = init[None, :] + init_jitter * jax.random.normal(
             k_init, (n_chains, D)
+        )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = mesh.shape[chain_axis]
+        assert n_chains % n_dev == 0, (
+            f'n_chains={n_chains} must be a multiple of the '
+            f'{chain_axis!r} mesh axis size {n_dev}'
+        )
+        init = jax.device_put(
+            init, NamedSharding(mesh, PartitionSpec(chain_axis, None))
         )
 
     step = _transition(algorithm, max_depth, n_leapfrog)
