@@ -177,3 +177,43 @@ def test_outlier_detector():
     od.fit(X, y, w=0.5, repeat=1, tol=1e-4)
     u = od.y_uncertainty
     assert np.argmax(u) == 5
+
+
+def test_gpr_on_graphs_end_to_end():
+    """GPR with the real marginalized graph kernel (normalized), matching
+    the reference's molecular workflow."""
+    from graphdot_tpu.kernel import MarginalizedGraphKernel, Normalization
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.testing import random_molecule_set
+
+    graphs = random_molecule_set(3, 12, n_atoms_range=(5, 10))
+    y = np.array([float(len(g.nodes)) for g in graphs])
+
+    kernel = Normalization(MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.2)),
+        TensorProduct(length=SquareExponential(0.3)),
+        q=0.05,
+    ))
+    gpr = GaussianProcessRegressor(kernel, alpha=1e-6, normalize_y=True)
+    gpr.fit(graphs, y)
+    z = gpr.predict(graphs)
+    assert np.allclose(z, y, atol=1e-2)
+
+    zq, std = gpr.predict(graphs[:3], return_std=True)
+    assert np.all(std >= 0)
+
+    # LML and gradient are finite and FD-consistent
+    lml, grad = gpr.log_marginal_likelihood(eval_gradient=True)
+    assert np.isfinite(lml) and np.all(np.isfinite(grad))
+    eps = 1e-4
+    t0 = kernel.theta
+    for i in range(len(t0)):
+        tp = t0.copy(); tp[i] += eps
+        tm = t0.copy(); tm[i] -= eps
+        fd = (
+            gpr.log_marginal_likelihood(tp)
+            - gpr.log_marginal_likelihood(tm)
+        ) / (2 * eps)
+        assert grad[i] == pytest.approx(fd, rel=0.05, abs=0.5), i
