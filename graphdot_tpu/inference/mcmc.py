@@ -65,7 +65,7 @@ def _find_reasonable_step_size(logp_fn, state, inv_mass, rng):
 def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
            init=None, algorithm='nuts', max_depth=8, n_leapfrog=32,
            target_accept=0.8, init_jitter=1.0, thin=1, mesh=None,
-           chain_axis='chains'):
+           chain_axis='chains', step_size=None, inv_mass=None):
     """Run multi-chain MCMC over ``logp_fn``.
 
     Parameters
@@ -105,12 +105,21 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
     step = _transition(algorithm, max_depth, n_leapfrog)
     states = jax.vmap(lambda q: hmc_init(logp_fn, q))(init)
 
-    inv_mass = jnp.ones(D)
-    eps0 = _find_reasonable_step_size(
-        logp_fn,
-        jax.tree_util.tree_map(lambda a: a[0], states),
-        inv_mass, k_eps
-    )
+    # resume path: with both adaptation products supplied, skip warmup
+    # entirely (see graphdot_tpu.inference.checkpoint.resume_state)
+    resume = step_size is not None and inv_mass is not None
+    if resume:
+        inv_mass = jnp.asarray(inv_mass, dtype=jnp.float32)
+        step_size = jnp.float32(step_size)
+        n_warmup = 0
+
+    if not resume:
+        inv_mass = jnp.ones(D)
+        eps0 = _find_reasonable_step_size(
+            logp_fn,
+            jax.tree_util.tree_map(lambda a: a[0], states),
+            inv_mass, k_eps
+        )
 
     @partial(jax.jit, static_argnames=('n_steps', 'adapt_mass'))
     def run_window(rng, states, da, welford, inv_mass, n_steps,
@@ -135,6 +144,12 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
             one, (states, da, welford), jnp.arange(n_steps)
         )
         return states, da, welford
+
+    if resume:
+        return _run_sampling_only(
+            logp_fn, step, k_sample, states, step_size, inv_mass,
+            n_samples, thin
+        )
 
     # Stan-style windows: 15% fast / doubling slow windows / 10% fast
     n_fast1 = max(1, int(0.15 * n_warmup))
@@ -177,7 +192,14 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
         n_steps=n_fast2, adapt_mass=False
     )
     step_size = jnp.exp(da.log_step_avg)
+    return _run_sampling_only(
+        logp_fn, step, k_sample, states, step_size, inv_mass,
+        n_samples, thin
+    )
 
+
+def _run_sampling_only(logp_fn, step, rng, states, step_size, inv_mass,
+                       n_samples, thin):
     @partial(jax.jit, static_argnames=('n', 'thin'))
     def run_sampling(rng, states, n, thin):
         def one(states, i):
@@ -201,7 +223,7 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
         )
         return qs, logps, infos
 
-    qs, logps, infos = run_sampling(k_sample, states, n_samples, thin)
+    qs, logps, infos = run_sampling(rng, states, n_samples, thin)
     return {
         'samples': jnp.swapaxes(qs, 0, 1),      # [chains, samples, D]
         'logp': jnp.swapaxes(logps, 0, 1),

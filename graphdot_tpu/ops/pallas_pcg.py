@@ -25,12 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 _PREC = lax.Precision.HIGHEST
 
 
-def _bdot(a, b, transpose_b=False):
-    """Batched matmul [B, m, k] @ [B, k, n] (optionally b transposed)."""
-    if transpose_b:
-        dn = (((2,), (2,)), ((0,), (0,)))
-    else:
-        dn = (((2,), (1,)), ((0,), (0,)))
+def _dot2(a, b, ta=False, tb=False):
+    """2-D matmul with optional transposes (Mosaic lowers plain 2-D
+    dot_general; batched 3-D contractions are unrolled by the caller)."""
+    dn = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
     return lax.dot_general(
         a, b, dimension_numbers=dn,
         preferred_element_type=jnp.float32, precision=_PREC
@@ -48,66 +46,70 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
     diag = diag_ref[:]
     precond = precond_ref[:]
     b = b_ref[:]
-    tol = tol_ref[:, 0]  # [B, 128] lane-replicated -> [B]
+    # keep all per-pair scalars 2-D [B, 1]: Mosaic requires >=2-D vector
+    # layouts
+    tol = tol_ref[:, 0:1]
     maxiter = maxiter_ref[0]
 
+    B = T.shape[0]
+
     def matvec(Y):
-        # G[e1, i2] = sum_j1 D1[e1, j1] Y[j1, i2]
-        G = _bdot(ohd1, Y)
-        # H[e1, e2] = sum_i2 G[e1, i2] D2[e2, i2]
-        H = _bdot(G, ohd2, transpose_b=True)
-        Z = T * H
-        # U[i1, e2] = sum_e1 S1[e1, i1] Z[e1, e2]
-        U = lax.dot_general(
-            Z, ohs1, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_PREC
-        )  # [B, e2, i1]
-        # out[i1, i2] = sum_e2 U[e2, i1] S2[e2, i2]
-        off = lax.dot_general(
-            U, ohs2, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_PREC
-        )  # [B, i1, i2]
+        # statically unrolled over the pair block: Mosaic only lowers
+        # 2-D matmuls
+        offs = []
+        for bi in range(B):
+            # G[e1, i2] = sum_j1 D1[e1, j1] Y[j1, i2]
+            G = _dot2(ohd1[bi], Y[bi])
+            # H[e1, e2] = sum_i2 G[e1, i2] D2[e2, i2]
+            H = _dot2(G, ohd2[bi], tb=True)
+            Z = T[bi] * H
+            # U[i1, e2] = sum_e1 S1[e1, i1] Z[e1, e2]
+            U = _dot2(ohs1[bi], Z, ta=True)
+            # off[i1, i2] = sum_e2 U[i1, e2] S2[e2, i2]
+            offs.append(_dot2(U, ohs2[bi]))
+        off = jnp.stack(offs, axis=0)
         return diag * Y - off
 
     def pair_sum(a):
-        return jnp.sum(a, axis=(1, 2))
+        # [B, N, N] -> [B, 1]; never create a rank-1 intermediate
+        # (Mosaic vector layouts require rank >= 2)
+        return jnp.sum(jnp.sum(a, axis=2), axis=1, keepdims=True)
 
+    # `done` is carried as a float mask (1.0 = converged): boolean vectors
+    # in while-loop carries fail Mosaic legalization
     z0 = precond * b
     rr0 = pair_sum(b * b)
-    done0 = jnp.sqrt(rr0) < tol
+    done0 = (jnp.sqrt(rr0) < tol).astype(jnp.float32)
     state0 = (
         jnp.zeros_like(b),        # x
         b,                        # r
         z0,                       # p
-        pair_sum(b * z0),         # rz
-        done0,
+        pair_sum(b * z0),         # rz [B, 1]
+        done0,                    # [B, 1] float mask
         jnp.int32(0),
     )
 
     def cond(state):
         _, _, _, _, done, it = state
-        return (it < maxiter) & jnp.any(~done)
+        return (it < maxiter) & (jnp.sum(done) < done.shape[0])
 
     def body(state):
         x, r, p, rz, done, it = state
         Ap = matvec(p)
         pAp = pair_sum(p * Ap)
-        bad = (pAp == 0.0) | (rz == 0.0)
-        step = ~(done | bad)
-        alpha = jnp.where(
-            step, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0
-        )
-        x = x + alpha[:, None, None] * p
-        r = r - alpha[:, None, None] * Ap
+        bad = ((pAp == 0.0) | (rz == 0.0)).astype(jnp.float32)
+        live = (1.0 - done) * (1.0 - bad)
+        alpha = live * rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + alpha[:, :, None] * p
+        r = r - alpha[:, :, None] * Ap
         z = precond * r
         rz_new = pair_sum(r * z)
         rr = pair_sum(r * r)
-        done_new = done | bad | (jnp.sqrt(rr) < tol)
-        beta = jnp.where(
-            done_new, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
-        )
-        p = z + beta[:, None, None] * p
-        rz = jnp.where(done_new, rz, rz_new)
+        conv = (jnp.sqrt(rr) < tol).astype(jnp.float32)
+        done_new = jnp.maximum(done, jnp.maximum(bad, conv))
+        beta = (1.0 - done_new) * rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta[:, :, None] * p
+        rz = done_new * rz + (1.0 - done_new) * rz_new
         return (x, r, p, rz, done_new, it + 1)
 
     x, _, _, _, _, _ = lax.while_loop(cond, body, state0)
@@ -122,7 +124,9 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
     P, M, _ = T.shape
     N = diag.shape[-1]
     bytes_per_pair = 4 * (M * M + 4 * M * N + 10 * N * N)
-    B = int(max(1, min(32, (4 << 20) // max(bytes_per_pair, 1))))
+    # block size capped at 8: the in-kernel matvec is statically unrolled
+    # over the block, so large blocks inflate Mosaic compile time
+    B = int(max(1, min(8, (4 << 20) // max(bytes_per_pair, 1))))
     P_pad = -(-P // B) * B
     interpret = jax.default_backend() != 'tpu'
 

@@ -147,3 +147,29 @@ def test_sharded_gram_matches(gp_problem):
     with mesh:
         K2 = np.asarray(sharded_gram_fn(factory, mesh)(t0))
     assert np.allclose(K1, K2, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    from graphdot_tpu.inference import (
+        load_chains, resume_state, save_chains
+    )
+    logp, mu, cov = _gauss_target(2, seed=9)
+    out = sample(
+        logp, jax.random.PRNGKey(9), n_chains=2, n_warmup=100,
+        n_samples=50, init=jnp.zeros(2)
+    )
+    path = str(tmp_path / 'chains.npz')
+    save_chains(path, out, extra={'round': 1})
+    loaded = load_chains(path)
+    assert np.allclose(loaded['samples'], np.asarray(out['samples']))
+    assert loaded['extra']['round'] == 1
+
+    init, step_size, inv_mass = resume_state(loaded)
+    out2 = sample(
+        logp, jax.random.PRNGKey(10), n_chains=2, n_samples=50,
+        init=jnp.asarray(init), step_size=step_size, inv_mass=inv_mass
+    )
+    s = np.asarray(out2['samples'])
+    assert np.all(np.isfinite(s))
+    # resumed chains continue sampling the same target
+    assert np.abs(s.reshape(-1, 2).mean(0) - mu).max() < 0.5
