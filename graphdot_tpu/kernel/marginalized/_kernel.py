@@ -98,7 +98,8 @@ class MarginalizedGraphKernel:
 
     def __init__(self, node_kernel, edge_kernel, p=1.0, q=0.01,
                  q_bounds=(1e-4, 1 - 1e-4), eps=1e-2, ftol=1e-8, gtol=1e-6,
-                 dtype=np.float64, backend='auto'):
+                 dtype=np.float64, backend='auto', buckets=False):
+        self.buckets = buckets
         self.node_kernel = node_kernel
         self.edge_kernel = edge_kernel
         self.p = self._get_starting_probability(p)
@@ -184,7 +185,8 @@ class MarginalizedGraphKernel:
         n_p = len(list(flatten(self.p.theta)))
         mode = self.backend.mode
 
-        def core(theta, batch, idx1, idx2, ftol, p_fixed, lmin):
+        def core(theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
+                 p_fixed2, lmin):
             theta = jnp.asarray(theta, dtype=jnp.float32)
 
             def g1(tree):
@@ -194,27 +196,28 @@ class MarginalizedGraphKernel:
                 return jax.tree_util.tree_map(lambda a: a[idx2], tree)
 
             ops = {
-                'node_feats_1': g1(batch['node_feats']),
-                'node_feats_2': g2(batch['node_feats']),
-                'node_mask_1': batch['node_mask'][idx1],
-                'node_mask_2': batch['node_mask'][idx2],
-                'degree_1': batch['degree'][idx1],
-                'degree_2': batch['degree'][idx2],
+                'node_feats_1': g1(batch1['node_feats']),
+                'node_feats_2': g2(batch2['node_feats']),
+                'node_mask_1': batch1['node_mask'][idx1],
+                'node_mask_2': batch2['node_mask'][idx2],
+                'degree_1': batch1['degree'][idx1],
+                'degree_2': batch2['degree'][idx2],
                 'ftol': ftol,
             }
             if mode == 'dense':
-                ops['adj_1'] = batch['adj'][idx1]
-                ops['adj_2'] = batch['adj'][idx2]
-                ops['edge_feats_1'] = g1(batch['edge_feats'])
-                ops['edge_feats_2'] = g2(batch['edge_feats'])
+                ops['adj_1'] = batch1['adj'][idx1]
+                ops['adj_2'] = batch2['adj'][idx2]
+                ops['edge_feats_1'] = g1(batch1['edge_feats'])
+                ops['edge_feats_2'] = g2(batch2['edge_feats'])
             else:
                 for f in ('esrc', 'edst', 'ew'):
-                    ops[f + '_1'] = batch[f][idx1]
-                    ops[f + '_2'] = batch[f][idx2]
-                ops['edge_elist_feats_1'] = g1(batch['edge_elist_feats'])
-                ops['edge_elist_feats_2'] = g2(batch['edge_elist_feats'])
+                    ops[f + '_1'] = batch1[f][idx1]
+                    ops[f + '_2'] = batch2[f][idx2]
+                ops['edge_elist_feats_1'] = g1(batch1['edge_elist_feats'])
+                ops['edge_elist_feats_2'] = g2(batch2['edge_elist_feats'])
 
-            n_pad = batch['node_mask'].shape[1]
+            n_pad = max(batch1['node_mask'].shape[1],
+                        batch2['node_mask'].shape[1])
             maxiter = min(n_pad * n_pad, 10000)
 
             x, Vx, valid = mlgk_solve(
@@ -222,8 +225,8 @@ class MarginalizedGraphKernel:
                 lmin=lmin, mode=mode, maxiter=maxiter
             )
 
-            pf1 = p_fixed[idx1] if p_fixed is not None else None
-            pf2 = p_fixed[idx2] if p_fixed is not None else None
+            pf1 = p_fixed1[idx1] if p_fixed1 is not None else None
+            pf2 = p_fixed2[idx2] if p_fixed2 is not None else None
             p1 = p_start.apply(theta[:n_p], ops['node_mask_1'], pf1)
             p2 = p_start.apply(theta[:n_p], ops['node_mask_2'], pf2)
             R = weight_by_p(x, p1, p2)
@@ -236,10 +239,15 @@ class MarginalizedGraphKernel:
             # value + jacobian in one pass; forward-mode costs one extra
             # implicit solve per hyperparameter — the exact analogue of the
             # reference's simultaneous dual-RHS solve, but for every theta.
-            def fn(theta, batch, idx1, idx2, ftol, p_fixed, lmin):
-                value = core(theta, batch, idx1, idx2, ftol, p_fixed, lmin)
+            def fn(theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
+                   p_fixed2, lmin):
+                value = core(
+                    theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
+                    p_fixed2, lmin
+                )
                 jacobian = jax.jacfwd(core)(
-                    theta, batch, idx1, idx2, ftol, p_fixed, lmin
+                    theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
+                    p_fixed2, lmin
                 )
                 return value, jacobian
             jitted = jax.jit(fn, static_argnames=('lmin',))
@@ -295,19 +303,11 @@ class MarginalizedGraphKernel:
             )
         return int(np.clip(budget // per_pair, 1, 4096))
 
-    def _solve_jobs(self, graphs, i_jobs, j_jobs, nodal, lmin,
-                    eval_gradient, timer=None):
-        """Solve all (i, j) jobs; returns [P(,n1,n2)] numpy arrays (+ the
-        full-dimensional gradient when requested)."""
-        batch, batch_dict, p_fixed = self._prepare_batch(graphs)
-        n_pad = batch.node_mask.shape[1]
-        m_pad = batch.esrc.shape[1]
-        chunk = self._chunk_size(n_pad, m_pad)
-
-        fn = self._core_fn(nodal=nodal, grad=eval_gradient)
-        theta = self._theta_vector()
+    def _run_chunks(self, fn, theta, bd1, bd2, pf1, pf2, i_jobs,
+                    j_jobs, chunk, lmin, eval_gradient):
+        """Run the jitted solve over fixed-size job chunks; returns
+        concatenated numpy outputs (and gradients)."""
         ftol = np.float32(self.ftol)
-
         P = len(i_jobs)
         outs, grads = [], []
         for s in range(0, P, chunk):
@@ -317,8 +317,8 @@ class MarginalizedGraphKernel:
             if pad > 0:
                 idx1 = np.pad(idx1, (0, pad))
                 idx2 = np.pad(idx2, (0, pad))
-            res = fn(theta, batch_dict, jnp.asarray(idx1),
-                     jnp.asarray(idx2), ftol, p_fixed, lmin=lmin)
+            res = fn(theta, bd1, bd2, jnp.asarray(idx1),
+                     jnp.asarray(idx2), ftol, pf1, pf2, lmin=lmin)
             if eval_gradient:
                 val, jacs = res
                 val = np.asarray(val)
@@ -333,11 +333,94 @@ class MarginalizedGraphKernel:
                 if pad > 0:
                     val = val[:len(val) - pad]
                 outs.append(val)
-
         out = np.concatenate(outs, axis=0)
         if eval_gradient:
             return out, np.concatenate(grads, axis=0)
-        return out
+        return out, None
+
+    def _size_classes(self, graphs, align=8):
+        """Partition graph indices into padded-size classes."""
+        classes = {}
+        for gi, g in enumerate(graphs):
+            n_pad = max(align, -(-len(g.nodes) // align) * align)
+            classes.setdefault(n_pad, []).append(gi)
+        return classes
+
+    def _solve_jobs(self, graphs, i_jobs, j_jobs, nodal, lmin,
+                    eval_gradient, timer=None):
+        """Solve all (i, j) jobs; returns [P(,n1,n2)] numpy arrays (+ the
+        full-dimensional gradient when requested). With ``buckets`` on and
+        heterogeneous sizes, jobs are grouped into per-size-class batches
+        so small pairs are not padded to the global maximum (the static
+        analogue of the reference's per-pair dynamic blocks)."""
+        fn = self._core_fn(nodal=nodal, grad=eval_gradient)
+        theta = self._theta_vector()
+        i_jobs = np.asarray(i_jobs, dtype=np.int64)
+        j_jobs = np.asarray(j_jobs, dtype=np.int64)
+
+        classes = self._size_classes(graphs) if self.buckets else None
+        if not classes or len(classes) <= 1:
+            batch, batch_dict, p_fixed = self._prepare_batch(graphs)
+            n_pad = batch.node_mask.shape[1]
+            m_pad = batch.esrc.shape[1]
+            chunk = self._chunk_size(n_pad, m_pad)
+            out, grad_out = self._run_chunks(
+                fn, theta, batch_dict, batch_dict, p_fixed, p_fixed,
+                i_jobs, j_jobs, chunk, lmin, eval_gradient
+            )
+            return (out, grad_out) if eval_gradient else out
+
+        # ---- bucketed path ----
+        class_of = np.empty(len(graphs), dtype=np.int64)
+        local_of = np.empty(len(graphs), dtype=np.int64)
+        keys = sorted(classes)
+        batches = {}
+        for ck, members in classes.items():
+            for li, gi in enumerate(members):
+                class_of[gi] = ck
+                local_of[gi] = li
+            batches[ck] = self._prepare_batch(
+                [graphs[gi] for gi in members]
+            )
+
+        # group jobs by (class_a <= class_b); remember transposes
+        groups = {}
+        for p, (gi, gj) in enumerate(zip(i_jobs, j_jobs)):
+            ca, cb = class_of[gi], class_of[gj]
+            swap = ca > cb
+            key = (min(ca, cb), max(ca, cb))
+            a, b = (gj, gi) if swap else (gi, gj)
+            groups.setdefault(key, []).append(
+                (p, local_of[a], local_of[b], swap)
+            )
+
+        raw = [None] * len(i_jobs)
+        raw_grad = [None] * len(i_jobs) if eval_gradient else None
+        for (ca, cb), entries in groups.items():
+            _, bd1, pf1 = batches[ca]
+            batch_b, bd2, pf2 = batches[cb]
+            m_pad = max(
+                batches[ca][0].esrc.shape[1], batch_b.esrc.shape[1]
+            )
+            chunk = self._chunk_size(cb, m_pad)
+            ps, l1, l2, swaps = map(np.asarray, zip(*entries))
+            out, grad_out = self._run_chunks(
+                fn, theta, bd1, bd2, pf1, pf2, l1, l2, chunk, lmin,
+                eval_gradient
+            )
+            for k, p in enumerate(ps):
+                o = out[k]
+                g = grad_out[k] if eval_gradient else None
+                if swaps[k] and nodal:
+                    o = np.swapaxes(o, 0, 1)
+                    if g is not None:
+                        g = np.swapaxes(g, 0, 1)
+                raw[p] = o
+                if eval_gradient:
+                    raw_grad[p] = g
+        if eval_gradient:
+            return raw, raw_grad
+        return raw
 
     # ------------------------------------------------------------------
     # public API
@@ -440,14 +523,14 @@ class MarginalizedGraphKernel:
             for p, (gi, gj) in enumerate(zip(i_jobs, j_jobs)):
                 ni, nj = sizes[gi], sizes[gj]
                 r0, c0 = starts[gi], col_base[gj]
-                R[r0:r0 + ni, c0:c0 + nj] = raw[p, :ni, :nj]
+                R[r0:r0 + ni, c0:c0 + nj] = raw[p][:ni, :nj]
                 if dR is not None:
-                    dR[r0:r0 + ni, c0:c0 + nj] = raw_grad[p, :ni, :nj]
+                    dR[r0:r0 + ni, c0:c0 + nj] = raw_grad[p][:ni, :nj]
                 if symmetric and gi != gj:
-                    R[c0:c0 + nj, r0:r0 + ni] = raw[p, :ni, :nj].T
+                    R[c0:c0 + nj, r0:r0 + ni] = raw[p][:ni, :nj].T
                     if dR is not None:
                         dR[c0:c0 + nj, r0:r0 + ni] = np.swapaxes(
-                            raw_grad[p, :ni, :nj], 0, 1
+                            raw_grad[p][:ni, :nj], 0, 1
                         )
             return R, dR
         else:
@@ -507,20 +590,21 @@ class MarginalizedGraphKernel:
         sizes = np.array([len(g.nodes) for g in X])
         if nodal is True:
             out = np.concatenate([
-                np.diagonal(raw[p, :n, :n]) for p, n in enumerate(sizes)
+                np.diagonal(raw[p][:n, :n]) for p, n in enumerate(sizes)
             ])
             if raw_grad is not None:
                 grad = np.concatenate([
-                    np.diagonal(raw_grad[p, :n, :n], axis1=0, axis2=1).T
+                    np.diagonal(raw_grad[p][:n, :n], axis1=0,
+                                axis2=1).T
                     for p, n in enumerate(sizes)
                 ])
         elif nodal is False:
             out = raw
             grad = raw_grad
         elif nodal == 'block':
-            out = [raw[p, :n, :n] for p, n in enumerate(sizes)]
+            out = [raw[p][:n, :n] for p, n in enumerate(sizes)]
             if raw_grad is not None:
-                grad = [raw_grad[p, :n, :n] for p, n in enumerate(sizes)]
+                grad = [raw_grad[p][:n, :n] for p, n in enumerate(sizes)]
         else:
             raise ValueError("Invalid 'nodal' option '%s'" % nodal)
 

@@ -303,9 +303,10 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     n_true = jnp.sum(mask1, axis=1) * jnp.sum(mask2, axis=1)
     tol = ops['ftol'] * n_true
 
-    if mode == 'pallas':
+    if mode == 'pallas' and n1 == n2:
         # primal/tangent solves run in the fused VMEM-resident kernel;
         # the XLA matvec above is still what autodiff differentiates.
+        # (rectangular n1 != n2 bucket pairs fall back to the XLA PCG)
         from ...ops.pallas_pcg import pallas_pcg_solver
         solve_impl = pallas_pcg_solver(
             T, oh_src1, oh_dst1, oh_src2, oh_dst2,

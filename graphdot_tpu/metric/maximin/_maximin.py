@@ -99,7 +99,7 @@ class MaxiMin(MarginalizedGraphKernel):
 
         for p, (gi, gj) in enumerate(zip(i_jobs, j_jobs)):
             ni, nj = sizes[gi], sizes[gj]
-            k12 = raw[p, :ni, :nj]
+            k12 = raw[p][:ni, :nj]
             k1 = diag[starts[gi]:starts[gi] + ni]
             k2 = diag[starts[gj]:starts[gj] + nj]
             D = self._induced_distance(k12, k1[:, None], k2[None, :])
@@ -122,7 +122,7 @@ class MaxiMin(MarginalizedGraphKernel):
                 hotspot[gj, gi] = i2 * ni + i1
 
             if eval_gradient:
-                dk12 = raw_grad[p, i1, i2, :]
+                dk12 = raw_grad[p][i1, i2, :]
                 dk1 = ddiag[starts[gi] + i1]
                 dk2 = ddiag[starts[gj] + i2]
                 k12h = k12[i1, i2]

@@ -331,3 +331,44 @@ def test_large_random_batch():
     for (a, b) in [(0, 0), (2, 7)]:
         gnd = mlgk(graphs[a], graphs[b], knode, kedge, 0.1)
         assert R[a, b] == pytest.approx(gnd, rel=1e-3)
+
+
+@pytest.mark.parametrize('backend', BACKENDS)
+def test_bucketed_solving(backend):
+    """Bucketed per-size-class batches must agree with the global-padding
+    path, including cross-bucket (rectangular) pairs."""
+    rng = np.random.default_rng(5)
+    graphs = []
+    for i, n in enumerate([4, 5, 12, 13, 21, 6]):
+        g = nx.newman_watts_strogatz_graph(n, 3, 0.2, seed=int(i))
+        nx.set_node_attributes(
+            g, {k: float(rng.normal()) for k in g.nodes}, 'x'
+        )
+        nx.set_edge_attributes(
+            g, {e: float(rng.uniform(0.8, 1.2)) for e in g.edges},
+            'length'
+        )
+        graphs.append(Graph.from_networkx(g))
+    graphs = Graph.unify_datatype(graphs)
+    knode = TensorProduct(x=SquareExponential(1.0) + 0.01)
+    kedge = TensorProduct(length=SquareExponential(0.5) + 0.01)
+
+    k_flat = MarginalizedGraphKernel(knode, kedge, q=0.1, backend=backend)
+    k_buck = MarginalizedGraphKernel(
+        knode, kedge, q=0.1, backend=backend, buckets=True
+    )
+    R1 = k_flat(graphs)
+    R2 = k_buck(graphs)
+    assert np.allclose(R1, R2, rtol=1e-4, atol=1e-6)
+
+    Rn1 = k_flat(graphs, nodal=True)
+    Rn2 = k_buck(graphs, nodal=True)
+    assert np.allclose(Rn1, Rn2, rtol=1e-4, atol=1e-6)
+
+    _, dR1 = k_flat(graphs, eval_gradient=True)
+    _, dR2 = k_buck(graphs, eval_gradient=True)
+    assert np.allclose(dR1, dR2, rtol=1e-3, atol=1e-4)
+
+    D1 = k_flat.diag(graphs, nodal=True)
+    D2 = k_buck.diag(graphs, nodal=True)
+    assert np.allclose(D1, D2, rtol=1e-5)
