@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: NUTS samples/s over marginalized-graph-kernel GPR
+hyperparameters (the second BASELINE.json metric).
+
+Workload: QM7-sized molecule set, GP log-posterior over (p, q, element
+prior, length scale), multinomial NUTS with warm-started step size.
+Prints one JSON line; chains/s scales with the 'chains' mesh axis on
+multi-chip systems.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
+    import jax
+    import jax.numpy as jnp
+
+    from graphdot_tpu.inference import GPRLogProb, sample
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.testing import random_molecule_set
+
+    graphs = random_molecule_set(7, n_graphs, n_atoms_range=(9, 24))
+    rng = np.random.default_rng(0)
+    y = np.array([
+        -10.0 * len(g.nodes) + rng.normal() for g in graphs
+    ])
+
+    kernel = MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.2)),
+        TensorProduct(length=SquareExponential(0.3)),
+        q=0.05,
+    )
+    logprob = GPRLogProb(kernel, graphs, y, alpha=1e-2, normalize_y=True)
+    init = jnp.asarray(logprob.theta0, dtype=jnp.float32)
+
+    # short warmup run to adapt and compile everything
+    t0 = time.perf_counter()
+    out = sample(
+        logprob, jax.random.PRNGKey(0), n_chains=n_chains, n_warmup=30,
+        n_samples=2, init=init, max_depth=max_depth, init_jitter=0.05
+    )
+    t_warm = time.perf_counter() - t0
+
+    # steady-state: resume with fixed step size / mass (no warmup)
+    from graphdot_tpu.inference import resume_state
+    init2, step_size, inv_mass = resume_state(out)
+    t0 = time.perf_counter()
+    out2 = sample(
+        logprob, jax.random.PRNGKey(1), n_chains=n_chains,
+        n_samples=n_samples, init=jnp.asarray(init2),
+        step_size=step_size, inv_mass=inv_mass, max_depth=max_depth
+    )
+    dt = time.perf_counter() - t0
+    total = n_chains * n_samples
+    sps = total / dt
+
+    print(json.dumps({
+        'metric': f'NUTS samples/s ({n_graphs}-molecule GPR posterior, '
+                  f'{n_chains} chains)',
+        'value': round(sps, 2),
+        'unit': 'samples/s',
+        'vs_baseline': 1.0,
+    }))
+    print(
+        f'# warmup+compile {t_warm:.1f}s; sampling {dt:.2f}s for {total} '
+        f'draws; step_size={float(step_size):.4f}; '
+        f'platform={jax.devices()[0].platform}',
+        file=sys.stderr
+    )
+
+
+if __name__ == '__main__':
+    main()
