@@ -36,9 +36,22 @@ from jax import lax
 
 # CG is run in float32: on TPU the MXU's default bf16 multiplication loses
 # ~3 decimal digits per matvec, which breaks the reference's 1e-5 accuracy
-# contract. HIGHEST forces the 6-pass f32 emulation on the MXU for the
-# solver's contractions only — the right default for an iterative solver.
-_PRECISION = lax.Precision.HIGHEST
+# contract. HIGH uses the 3-pass bf16 decomposition — near-exact here
+# because every matvec matmul has a one-hot operand (whose bf16 split is
+# exact), at half the MXU passes of HIGHEST. Switchable for validation.
+_PRECISIONS = {
+    'default': lax.Precision.DEFAULT,
+    'high': lax.Precision.HIGH,
+    'highest': lax.Precision.HIGHEST,
+}
+_PRECISION = lax.Precision.HIGH
+
+
+def set_solver_precision(name):
+    """Set the MXU precision of the solver's contractions ('default',
+    'high', 'highest'). Takes effect on the next trace."""
+    global _PRECISION
+    _PRECISION = _PRECISIONS[name]
 
 
 def _einsum(*args):
