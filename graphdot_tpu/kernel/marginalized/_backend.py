@@ -12,7 +12,7 @@ The TPU build has a single JAX/XLA backend with two matvec strategies:
 - ``'pallas'``: the edge-factored operands with the whole PCG loop fused
   into a single VMEM-resident Pallas kernel per block of pairs (the
   counterpart of the reference's one-kernel CUDA solver). Currently
-  experimental: on v5e it trails the XLA edge path (96.6k vs 119.6k
+  experimental: on v5e it trails the XLA edge path (96.6k vs 133.6k
   pairs/s on the 128-molecule benchmark) because 24-atom tiles use 24 of
   128 lanes and the per-pair matvec is unrolled; kept for further lane-
   packing work.
