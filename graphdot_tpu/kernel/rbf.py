@@ -28,7 +28,7 @@ class RBFKernel:
         self._params = OrderedDict(**hyperparameters)
         self._param = (
             sympy.symbols(x),
-            *sympy.symbols(','.join(self._params.keys()))
+            *[sympy.symbols(k) for k in self._params]
         )
         self._fun = lambdify(self._param, self.expr)
         self._grad = [
