@@ -54,13 +54,17 @@ def _next_beta(log_like, beta, target_frac, n):
 
 def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
                n_moves=3, step_size=0.2, target_frac=0.5,
-               max_stages=50, use_hmc=False, n_leapfrog=8):
+               max_stages=50, use_hmc=False, n_leapfrog=8, mesh=None,
+               particle_axis='chains'):
     """SMC sampling of p(t) ∝ exp(log_prior(t) + log_like(t)).
 
     Parameters
     ----------
     log_prior, log_like: callables [D] -> scalar.
     init: [n_particles, D] initial draws from the prior.
+    mesh: optional jax.sharding.Mesh — particles are sharded along
+        ``particle_axis``; the resampling weight softmax/cumsum is the
+        all-gather collective call site (SURVEY.md §2.9.3).
 
     Returns
     -------
@@ -69,6 +73,11 @@ def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
     """
     init = jnp.asarray(init, dtype=jnp.float32)
     n, D = init.shape
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        init = jax.device_put(
+            init, NamedSharding(mesh, PartitionSpec(particle_axis, None))
+        )
 
     v_log_like = jax.vmap(log_like)
     v_log_prior = jax.vmap(log_prior)
