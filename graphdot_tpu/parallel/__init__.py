@@ -1,8 +1,8 @@
 """Multi-chip parallelism: mesh construction, sharded Gram builds, and
 chain/particle sharding (SURVEY.md §2.9 TPU-native equivalents)."""
 from .gram import sharded_gram_fn
-from .mesh import make_mesh, replicated, sharded_along
+from .mesh import init_distributed, make_mesh, replicated, sharded_along
 
 __all__ = [
-    'make_mesh', 'replicated', 'sharded_along', 'sharded_gram_fn'
+    'make_mesh', 'replicated', 'sharded_along', 'sharded_gram_fn', 'init_distributed'
 ]

@@ -10,6 +10,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (DCN between hosts, ICI within a slice).
+    After this, ``jax.devices()`` spans all hosts and
+    :func:`make_mesh` builds pod-wide meshes. No-op when already
+    initialized or when arguments are resolvable from the TPU
+    environment."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if 'already initialized' not in str(e):
+            raise
+
+
 def make_mesh(axes=None, devices=None):
     """Create a named mesh over the available devices.
 
