@@ -121,10 +121,13 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
             inv_mass, k_eps
         )
 
-    @partial(jax.jit, static_argnames=('n_steps', 'adapt_mass'))
+    @partial(jax.jit, static_argnames=('adapt_mass',))
     def run_window(rng, states, da, welford, inv_mass, n_steps,
                    adapt_mass):
-        def one(carry, i):
+        # n_steps is a traced scalar so that every warmup window reuses
+        # ONE compiled program — with the CG solve nested inside NUTS,
+        # per-window recompiles would dominate wall time on TPU
+        def one(i, carry):
             states, da, welford = carry
             keys = jax.random.split(
                 jax.random.fold_in(rng, i), states.q.shape[0]
@@ -138,10 +141,10 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
             )
             if adapt_mass:
                 welford = jax.vmap(welford_update)(welford, new_states.q)
-            return (new_states, da, welford), None
+            return (new_states, da, welford)
 
-        (states, da, welford), _ = jax.lax.scan(
-            one, (states, da, welford), jnp.arange(n_steps)
+        states, da, welford = jax.lax.fori_loop(
+            0, n_steps, one, (states, da, welford)
         )
         return states, da, welford
 
