@@ -372,3 +372,31 @@ def test_bucketed_solving(backend):
     D1 = k_flat.diag(graphs, nodal=True)
     D2 = k_buck.diag(graphs, nodal=True)
     assert np.allclose(D1, D2, rtol=1e-5)
+
+
+def test_element_dtype():
+    c = CASES['unlabeled']
+    G = c['graphs']
+    k32 = MarginalizedGraphKernel(
+        c['knode'], c['kedge'], q=0.2, dtype=np.float32
+    )
+    R32 = k32(G)
+    assert R32.dtype == np.float32
+    k64 = MarginalizedGraphKernel(
+        c['knode'], c['kedge'], q=0.2, dtype=np.float64
+    )
+    assert k64(G).dtype == np.float64
+    assert k64.diag(G).dtype == np.float64
+
+
+def test_diag_gradient_full_dims():
+    """active_theta_only=False returns gradients for ALL hyperparameters
+    (the MaxiMin code path)."""
+    c = CASES['weighted']
+    G = c['graphs']
+    k = MarginalizedGraphKernel(c['knode'], c['kedge'], q=0.1)
+    d, dd = k.diag(G, eval_gradient=True, nodal=True,
+                   active_theta_only=False)
+    assert dd.shape == (len(d), k.n_dims)
+    d2, dd2 = k.diag(G, eval_gradient=True, nodal=True)
+    assert dd2.shape == (len(d), len(k.theta))
