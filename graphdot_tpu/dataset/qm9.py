@@ -5,7 +5,6 @@ import tarfile
 import numpy as np
 import pandas as pd
 
-from ._atoms import make_atoms
 from ._get import get
 
 _COLUMNS = [

@@ -6,7 +6,6 @@ likelihood becomes a traced JAX log-probability that feeds the NUTS / HMC /
 SMC / VI samplers in this package — the north-star capability of the TPU
 build (BASELINE.json).
 """
-from functools import partial
 
 import numpy as np
 import jax

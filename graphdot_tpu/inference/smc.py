@@ -6,7 +6,6 @@ Adaptive tempering chooses each temperature increment so the effective
 sample size stays at a target fraction, with systematic resampling and
 random-walk/HMC mutation moves.
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Feature pytrees at apply-time:
 - multi-feature (Composite) input -> dict of column name -> feature
 """
 from abc import ABC, abstractmethod
-from collections import OrderedDict
+
 import operator
 from itertools import starmap
 

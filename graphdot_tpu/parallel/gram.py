@@ -15,7 +15,6 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..kernel.marginalized._solver import mlgk_solve, weight_by_p
-from ..util.iterable import flatten
 
 
 def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
