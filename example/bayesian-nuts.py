@@ -17,7 +17,7 @@ from graphdot_tpu.microkernel import (
 )
 from graphdot_tpu.testing import random_molecule_set
 
-graphs = random_molecule_set(0, 16, n_atoms_range=(6, 12))
+graphs = random_molecule_set(0, 12, n_atoms_range=(6, 10))
 rng = np.random.default_rng(1)
 y = np.array([-10.0 * len(g.nodes) + rng.normal() for g in graphs])
 
@@ -29,9 +29,9 @@ kernel = MarginalizedGraphKernel(
 logprob = GPRLogProb(kernel, graphs, y, alpha=1e-2, normalize_y=True)
 
 out = sample(
-    logprob, jax.random.PRNGKey(0), n_chains=4, n_warmup=200,
-    n_samples=200, init=jnp.asarray(logprob.theta0, dtype=jnp.float32),
-    max_depth=6, init_jitter=0.1
+    logprob, jax.random.PRNGKey(0), n_chains=2, n_warmup=100,
+    n_samples=100, init=jnp.asarray(logprob.theta0, dtype=jnp.float32),
+    max_depth=5, init_jitter=0.1
 )
 s = np.asarray(out['samples'])
 flat = s.reshape(-1, s.shape[-1])
