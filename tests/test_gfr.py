@@ -148,3 +148,35 @@ def test_rbf_over_fixed_distance_gradient():
     w.theta = t0
     fd = (Wp - Wm) / (2 * eps)
     assert np.allclose(dW[:, :, 0], fd, rtol=1e-4, atol=1e-8)
+
+
+def test_gfr_with_maximin_weights():
+    """Integration: Gaussian field regressor over RBFOverDistance(MaxiMin)
+    weights on real graphs — the reference's semi-supervised molecular
+    workflow."""
+    from graphdot_tpu.metric import MaxiMin
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.model.gaussian_field import (
+        GaussianFieldRegressor, RBFOverDistance
+    )
+    from graphdot_tpu.testing import random_molecule_set
+
+    graphs = random_molecule_set(2, 8, n_atoms_range=(5, 8))
+    metric = MaxiMin(
+        TensorProduct(element=KroneckerDelta(0.3)),
+        TensorProduct(length=SquareExponential(0.3)),
+        q=0.05,
+    )
+    weight = RBFOverDistance(metric, sigma=0.5)
+    gfr = GaussianFieldRegressor(weight, smoothing=1e-3)
+
+    y = np.array([float(len(g.nodes)) for g in graphs])
+    y_obs = y.copy()
+    y_obs[[2, 5]] = np.nan
+    z = gfr.predict(np.asarray(graphs, dtype=object), y_obs)
+    assert np.all(np.isfinite(z))
+    # harmonic interpolation stays within the labeled range
+    assert z[[2, 5]].min() >= y[np.isfinite(y_obs)].min() - 1e-6
+    assert z[[2, 5]].max() <= y[np.isfinite(y_obs)].max() + 1e-6
