@@ -65,7 +65,8 @@ def _find_reasonable_step_size(logp_fn, state, inv_mass, rng):
 def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
            init=None, algorithm='nuts', max_depth=8, n_leapfrog=32,
            target_accept=0.8, init_jitter=1.0, thin=1, mesh=None,
-           chain_axis='chains', step_size=None, inv_mass=None):
+           chain_axis='chains', step_size=None, inv_mass=None,
+           loop='auto'):
     """Run multi-chain MCMC over ``logp_fn``.
 
     Parameters
@@ -78,6 +79,12 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
         ``chain_axis`` and each device advances its chains locally, with
         adaptation statistics pooled by cross-chain means (lowered to
         psum collectives).
+    loop: 'scan', 'host', or 'auto'
+        'scan' compiles the whole warmup/sampling loop into one XLA
+        program (lowest dispatch overhead); 'host' drives one jitted
+        transition per step from Python — required on runtimes where the
+        deeply-nested scan-of-NUTS-of-CG program is fragile (the current
+        TPU tunnel crashes on it). 'auto' selects 'host' on TPU.
 
     Returns
     -------
@@ -102,6 +109,9 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
             init, NamedSharding(mesh, PartitionSpec(chain_axis, None))
         )
 
+    if loop == 'auto':
+        loop = 'host' if jax.default_backend() == 'tpu' else 'scan'
+
     step = _transition(algorithm, max_depth, n_leapfrog)
     states = jax.vmap(lambda q: hmc_init(logp_fn, q))(init)
 
@@ -122,36 +132,56 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
         )
 
     @partial(jax.jit, static_argnames=('adapt_mass',))
-    def run_window(rng, states, da, welford, inv_mass, n_steps,
-                   adapt_mass):
+    def one_adapt_step(key, states, da, welford, inv_mass, adapt_mass):
+        keys = jax.random.split(key, states.q.shape[0])
+        eps = jnp.exp(da.log_step)
+        new_states, infos = jax.vmap(
+            lambda k, s: step(k, s, logp_fn, eps, inv_mass)
+        )(keys, states)
+        da = da_update(
+            da, jnp.mean(infos['accept_prob']), target=target_accept
+        )
+        if adapt_mass:
+            welford = jax.vmap(welford_update)(welford, new_states.q)
+        return new_states, da, welford
+
+    @partial(jax.jit, static_argnames=('adapt_mass',))
+    def run_window_scan(rng, states, da, welford, inv_mass, n_steps,
+                        adapt_mass):
         # n_steps is a traced scalar so that every warmup window reuses
         # ONE compiled program — with the CG solve nested inside NUTS,
-        # per-window recompiles would dominate wall time on TPU
+        # per-window recompiles would dominate wall time
         def one(i, carry):
             states, da, welford = carry
-            keys = jax.random.split(
-                jax.random.fold_in(rng, i), states.q.shape[0]
+            key = jax.random.fold_in(rng, i)
+            return one_adapt_step(
+                key, states, da, welford, inv_mass,
+                adapt_mass=adapt_mass
             )
-            eps = jnp.exp(da.log_step)
-            new_states, infos = jax.vmap(
-                lambda k, s: step(k, s, logp_fn, eps, inv_mass)
-            )(keys, states)
-            da = da_update(
-                da, jnp.mean(infos['accept_prob']), target=target_accept
-            )
-            if adapt_mass:
-                welford = jax.vmap(welford_update)(welford, new_states.q)
-            return (new_states, da, welford)
 
         states, da, welford = jax.lax.fori_loop(
             0, n_steps, one, (states, da, welford)
         )
         return states, da, welford
 
+    def run_window(rng, states, da, welford, inv_mass, n_steps,
+                   adapt_mass):
+        if loop == 'scan':
+            return run_window_scan(
+                rng, states, da, welford, inv_mass, n_steps,
+                adapt_mass=adapt_mass
+            )
+        for i in range(int(n_steps)):
+            states, da, welford = one_adapt_step(
+                jax.random.fold_in(rng, i), states, da, welford,
+                inv_mass, adapt_mass=adapt_mass
+            )
+        return states, da, welford
+
     if resume:
         return _run_sampling_only(
             logp_fn, step, k_sample, states, step_size, inv_mass,
-            n_samples, thin
+            n_samples, thin, loop
         )
 
     # Stan-style windows: 15% fast / doubling slow windows / 10% fast
@@ -197,36 +227,64 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
     step_size = jnp.exp(da.log_step_avg)
     return _run_sampling_only(
         logp_fn, step, k_sample, states, step_size, inv_mass,
-        n_samples, thin
+        n_samples, thin, loop
     )
 
 
 def _run_sampling_only(logp_fn, step, rng, states, step_size, inv_mass,
-                       n_samples, thin):
-    @partial(jax.jit, static_argnames=('n', 'thin'))
-    def run_sampling(rng, states, n, thin):
-        def one(states, i):
-            def sub(states, j):
-                keys = jax.random.split(
-                    jax.random.fold_in(rng, i * thin + j),
-                    states.q.shape[0]
+                       n_samples, thin, loop='scan'):
+    @jax.jit
+    def one_sample_step(key, states):
+        keys = jax.random.split(key, states.q.shape[0])
+        return jax.vmap(
+            lambda k, s: step(k, s, logp_fn, step_size, inv_mass)
+        )(keys, states)
+
+    if loop == 'host':
+        qs, logps, acc, div = [], [], [], []
+        for i in range(n_samples):
+            for j in range(thin):
+                states, infos = one_sample_step(
+                    jax.random.fold_in(rng, i * thin + j), states
                 )
-                new_states, infos = jax.vmap(
-                    lambda k, s: step(k, s, logp_fn, step_size, inv_mass)
-                )(keys, states)
-                return new_states, infos
-            states, infos = jax.lax.scan(
-                sub, states, jnp.arange(thin)
+            qs.append(np.asarray(states.q))
+            logps.append(np.asarray(states.logp))
+            acc.append(np.asarray(infos['accept_prob']))
+            div.append(np.asarray(infos['divergent']))
+        qs = jnp.asarray(np.stack(qs))
+        logps = jnp.asarray(np.stack(logps))
+        infos = {
+            'accept_prob': jnp.asarray(np.stack(acc)),
+            'divergent': jnp.asarray(np.stack(div)),
+        }
+    else:
+        @partial(jax.jit, static_argnames=('n', 'thin'))
+        def run_sampling(rng, states, n, thin):
+            def one(states, i):
+                def sub(states, j):
+                    keys = jax.random.split(
+                        jax.random.fold_in(rng, i * thin + j),
+                        states.q.shape[0]
+                    )
+                    new_states, infos = jax.vmap(
+                        lambda k, s: step(
+                            k, s, logp_fn, step_size, inv_mass
+                        )
+                    )(keys, states)
+                    return new_states, infos
+                states, infos = jax.lax.scan(
+                    sub, states, jnp.arange(thin)
+                )
+                infos = jax.tree_util.tree_map(lambda a: a[-1], infos)
+                return states, (states.q, states.logp, infos)
+
+            states, (qs, logps, infos) = jax.lax.scan(
+                one, states, jnp.arange(n)
             )
-            infos = jax.tree_util.tree_map(lambda a: a[-1], infos)
-            return states, (states.q, states.logp, infos)
+            return qs, logps, infos
 
-        states, (qs, logps, infos) = jax.lax.scan(
-            one, states, jnp.arange(n)
-        )
-        return qs, logps, infos
+        qs, logps, infos = run_sampling(rng, states, n_samples, thin)
 
-    qs, logps, infos = run_sampling(rng, states, n_samples, thin)
     return {
         'samples': jnp.swapaxes(qs, 0, 1),      # [chains, samples, D]
         'logp': jnp.swapaxes(logps, 0, 1),
