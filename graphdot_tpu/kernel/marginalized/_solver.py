@@ -291,11 +291,19 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
         M1 = esrc1.shape[1]
         M2 = esrc2.shape[1]
         T = jnp.broadcast_to(T, (P, M1, M2))
-        # one-hot incidence matrices -> all-MXU matvec
-        oh_src1 = jax.nn.one_hot(esrc1, n1, dtype=jnp.float32)  # [P,M1,n1]
-        oh_dst1 = jax.nn.one_hot(edst1, n1, dtype=jnp.float32)
-        oh_src2 = jax.nn.one_hot(esrc2, n2, dtype=jnp.float32)  # [P,M2,n2]
-        oh_dst2 = jax.nn.one_hot(edst2, n2, dtype=jnp.float32)
+        # one-hot incidence matrices -> all-MXU matvec. They are
+        # theta-independent; callers that evaluate many thetas over a
+        # fixed graph set (GramFactory) pass them in precomputed.
+        if 'oh_src_1' in ops:
+            oh_src1 = ops['oh_src_1']
+            oh_dst1 = ops['oh_dst_1']
+            oh_src2 = ops['oh_src_2']
+            oh_dst2 = ops['oh_dst_2']
+        else:
+            oh_src1 = jax.nn.one_hot(esrc1, n1, dtype=jnp.float32)
+            oh_dst1 = jax.nn.one_hot(edst1, n1, dtype=jnp.float32)
+            oh_src2 = jax.nn.one_hot(esrc2, n2, dtype=jnp.float32)
+            oh_dst2 = jax.nn.one_hot(edst2, n2, dtype=jnp.float32)
 
         def offdiag(Y):
             G = _einsum('cen,cnk->cek', oh_dst1, Y)
