@@ -141,3 +141,25 @@ def test_from_ase_duck_typed():
     assert len(g.edges) >= 2
     assert '!w' in g.edges and 'length' in g.edges
     assert g.nodes['element'][0] == 8
+
+
+def test_timing_report(capsys):
+    """timing=True prints the per-phase Timer report (SURVEY §5)."""
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import Constant
+    g = Graph.from_networkx(nx.complete_graph(3))
+    k = MarginalizedGraphKernel(Constant(1.0), Constant(1.0), q=0.2)
+    k([g], timing=True)
+    out = capsys.readouterr().out
+    assert 'solving pair jobs' in out
+
+
+def test_markdown_printer(capsys):
+    from graphdot_tpu.util.printer import markdown
+    markdown.table_start()
+    markdown.table(('a', '%5d', 1), ('b', '%8.3f', 2.5))
+    markdown.table(('a', '%5d', 2), ('b', '%8.3f', 3.5))
+    out = capsys.readouterr().out
+    lines = out.strip().split('\n')
+    assert lines[0].startswith('|') and 'a' in lines[0]
+    assert len(lines) == 4  # header, separator, two rows
