@@ -1,11 +1,11 @@
-"""Adaptor for ASE Atoms objects (reference:
-``graphdot/graph/_from_ase.py:12``).
+"""Molecular graph construction from 3D atomic coordinates (fills the role
+of the reference's ``graphdot/graph/_from_ase.py:12``).
 
-ASE itself is an optional dependency: this module only uses the documented
-``Atoms`` duck-type interface (get_positions / get_atomic_numbers / cell /
-pbc), so any object implementing it works.
+Only the documented ``ase.Atoms`` duck-type interface is used (positions /
+atomic numbers / cell / pbc), so ASE itself is optional — see
+``graphdot_tpu.dataset._atoms.SimpleAtoms``.
 """
-from itertools import product
+import itertools
 import uuid
 
 import numpy as np
@@ -15,15 +15,32 @@ from .adjacency.atomic import AtomicAdjacency
 from .frame import DataFrame
 
 
+def _periodic_images(atoms, use_pbc):
+    """Translation vectors of all periodic images within one cell shift,
+    and the map from image-atom index back to the unit-cell atom."""
+    pbc = np.logical_and(np.asarray(atoms.pbc), use_pbc)
+    cell = np.asarray(atoms.cell)
+    shift_ranges = [(-1, 0, 1) if p else (0,) for p in pbc]
+    shifts = [
+        (cell.T * s).sum(axis=1)
+        for s in itertools.product(*shift_ranges)
+    ]
+    n = len(atoms)
+    x = np.asarray(atoms.get_positions())
+    tiled = np.vstack([x + t for t in shifts])
+    owner = np.tile(np.arange(n), len(shifts))
+    return x, tiled, owner
+
+
 def _from_ase(cls, atoms, adjacency='default', use_charge=False,
               use_pbc=True):
-    """Convert ASE atoms to a molecular graph where atoms become nodes and
-    short-range interatomic interactions become edges."""
+    """Build a molecular graph: atoms become nodes; pairs of atoms within
+    the adjacency rule's cutoff become edges with weight w = shape(r/σ)
+    and a 'length' feature."""
     if adjacency == 'default':
         adjacency = AtomicAdjacency()
 
     numbers = np.asarray(atoms.get_atomic_numbers())
-
     nodes = DataFrame({'!i': range(len(atoms))})
     nodes['element'] = numbers.astype(np.int8)
     if use_charge:
@@ -31,39 +48,42 @@ def _from_ase(cls, atoms, adjacency='default', use_charge=False,
             atoms.get_initial_charges()
         ).astype(np.float32)
 
-    pbc = np.logical_and(np.asarray(atoms.pbc), use_pbc)
-    cell = np.asarray(atoms.cell)
-    images = [(cell.T * image).sum(axis=1) for image in product(
-        *tuple([-1, 0, 1] if p else [0] for p in pbc))]
-    x = np.asarray(atoms.get_positions())
-    x_images = np.vstack([x + i for i in images])
-    j_images = list(range(len(atoms))) * len(images)
-
+    x, tiled, owner = _periodic_images(atoms, use_pbc)
     cutoff = adjacency.cutoff(numbers)
-    nl = cKDTree(x).sparse_distance_matrix(cKDTree(x_images), cutoff)
+    neighbors = cKDTree(x).sparse_distance_matrix(
+        cKDTree(tiled), cutoff
+    )
 
-    edgedict = {}
-    for (i, j), r in nl.items():
-        j = j_images[j]
-        if j > i:
-            w = adjacency(numbers[i], numbers[j], r)
-            if w > 0 and ((i, j) not in edgedict or edgedict[(i, j)][1] > r):
-                edgedict[(i, j)] = (w, r)
-    if not edgedict:
+    # keep, for each unordered atom pair, the closest image with a
+    # positive adjacency weight
+    best = {}
+    for (i, jj), r in neighbors.items():
+        j = int(owner[jj])
+        if j <= i:
+            continue
+        key = (int(i), j)
+        if key in best and best[key][0] <= r:
+            continue
+        w = adjacency(numbers[i], numbers[j], r)
+        if w > 0:
+            best[key] = (r, w)
+    if not best:
         raise RuntimeError('Molecule has no bonds within the cutoff.')
-    i, j, w, r = list(zip(*[(i, j, w, r)
-                            for (i, j), (w, r) in edgedict.items()]))
 
+    ij = np.array(sorted(best), dtype=np.uint32)
+    rw = np.array([best[tuple(k)] for k in ij], dtype=np.float32)
     edges = DataFrame({
-        '!i': np.array(i, dtype=np.uint32),
-        '!j': np.array(j, dtype=np.uint32),
-        '!w': np.array(w, dtype=np.float32),
-        'length': np.array(r, dtype=np.float32),
+        '!i': ij[:, 0],
+        '!j': ij[:, 1],
+        '!w': rw[:, 1],
+        'length': rw[:, 0],
     })
 
     try:
         formula = atoms.get_chemical_formula()
     except Exception:
         formula = ''
-    return cls(nodes, edges, title='Molecule {formula} {id}'.format(
-        formula=formula, id=uuid.uuid4().hex))
+    return cls(
+        nodes, edges,
+        title=f'Molecule {formula} {uuid.uuid4().hex}'
+    )

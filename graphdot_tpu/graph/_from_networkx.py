@@ -1,62 +1,71 @@
-"""Adaptor for NetworkX Graph objects (reference:
+"""NetworkX graph importer (fills the role of the reference's
 ``graphdot/graph/_from_networkx.py:7``)."""
 import networkx as nx
 
 from .frame import DataFrame
 
 
+def _collect_attrs(items, what):
+    """Verify attribute-name homogeneity across nodes/edges and return the
+    sorted attribute names."""
+    keys = None
+    for ident, attrs in items:
+        names = sorted(attrs.keys())
+        if keys is None:
+            keys = names
+        elif names != keys:
+            raise TypeError(
+                f'{what} {ident} attributes {list(attrs.keys())} '
+                f'inconsistent with {keys}'
+            )
+    return keys or []
+
+
 def _from_networkx(cls, graph, weight=None):
-    """Convert from a NetworkX ``Graph``.
+    """Convert an undirected NetworkX graph with homogeneous node/edge
+    attributes into a Graph.
 
     Parameters
     ----------
-    graph: a NetworkX ``Graph`` instance
-        an undirected graph with homogeneous node and edge attributes.
-    weight: str
-        name of the attribute that encodes edge weights.
+    graph: networkx.Graph
+    weight: str or None
+        Name of the edge attribute holding edge weights ('!w').
     """
-    nodes = list(graph.nodes)
-
-    if not all(isinstance(x, int) for x in nodes) \
-            or max(nodes) + 1 != len(nodes) or min(nodes) < 0:
+    labels = list(graph.nodes)
+    contiguous = (
+        all(isinstance(x, int) for x in labels)
+        and labels
+        and min(labels) == 0
+        and max(labels) == len(labels) - 1
+    )
+    if not contiguous:
         graph = nx.relabel.convert_node_labels_to_integers(graph)
 
-    title = graph.graph['title'] if 'title' in graph.graph.keys() else ''
+    title = graph.graph.get('title', '')
 
-    node_attr = []
-    for index, node in graph.nodes.items():
-        if index == 0:
-            node_attr = sorted(node.keys())
-        elif node_attr != sorted(node.keys()):
-            raise TypeError(
-                'Node {} attributes {} inconsistent with {}'.format(
-                    index, node.keys(), node_attr
-                )
-            )
-
-    node_df = DataFrame({'!i': range(len(graph.nodes))})
+    node_attr = _collect_attrs(graph.nodes.items(), 'Node')
+    nodes = DataFrame({'!i': range(graph.number_of_nodes())})
     for key in node_attr:
-        node_df[key] = [node[key] for node in graph.nodes.values()]
+        nodes[key] = [attrs[key] for attrs in graph.nodes.values()]
 
-    edge_attr = []
-    for index, ((i, j), edge) in enumerate(graph.edges.items()):
-        if index == 0:
-            edge_attr = sorted(edge.keys())
-        elif edge_attr != sorted(edge.keys()):
-            raise TypeError(
-                'Edge {} attributes {} inconsistent with {}'.format(
-                    (i, j), edge.keys(), edge_attr
-                )
-            )
-
-    edge_df = DataFrame()
-    if len(graph.edges.keys()) == 0:
+    if graph.number_of_edges() == 0:
         raise RuntimeError(f'Graph {graph} has no edges.')
-    edge_df['!i'], edge_df['!j'] = zip(*graph.edges.keys())
+    edge_attr = _collect_attrs(graph.edges.items(), 'Edge')
+    edges = DataFrame()
+    endpoints = list(graph.edges.keys())
+    edges['!i'] = [i for i, _ in endpoints]
+    edges['!j'] = [j for _, j in endpoints]
     if weight is not None:
-        edge_df['!w'] = [edge[weight] for edge in graph.edges.values()]
+        if weight not in edge_attr:
+            raise KeyError(
+                f'Weight attribute {weight!r} absent from edges.'
+            )
+        edges['!w'] = [
+            attrs[weight] for attrs in graph.edges.values()
+        ]
     for key in edge_attr:
-        if key != weight:
-            edge_df[key] = [edge[key] for edge in graph.edges.values()]
+        if key == weight:
+            continue
+        edges[key] = [attrs[key] for attrs in graph.edges.values()]
 
-    return cls(nodes=node_df, edges=edge_df, title=title)
+    return cls(nodes=nodes, edges=edges, title=title)

@@ -1,4 +1,5 @@
-"""Preset molecular kernel (reference: ``graphdot/kernel/molecular.py:12``)."""
+"""Preset molecular kernel (fills the role of the reference's
+``graphdot/kernel/molecular.py:12``)."""
 import copy
 
 from .marginalized import MarginalizedGraphKernel
@@ -6,21 +7,22 @@ from ..microkernel import KroneckerDelta, SquareExponential, TensorProduct
 
 
 class Tang2019MolecularKernel:
-    """A marginalized graph kernel for 3D molecular structures as in:
-    Tang, Y. H., & de Jong, W. A. (2019). Prediction of atomization energy
-    using graph kernel and active learning. J. Chem. Phys. 150(4), 044107.
-    Use together with ``Graph.from_ase()``.
+    """Marginalized graph kernel preset for 3D molecular structures
+    (Tang & de Jong, J. Chem. Phys. 150:044107, 2019): Kronecker-delta
+    node kernel on elements, square-exponential edge kernel on bond
+    lengths. Compose with ``Graph.from_ase``.
 
     Parameters
     ----------
     stopping_probability: float in (0, 1)
-        Random-walk stopping probability per step.
+        Per-step stopping probability q of the random walk.
     starting_probability: float
-        Random-walk starting probability on any node.
+        Starting probability p on every node.
     element_prior: float in (0, 1)
-        Baseline similarity between distinct elements.
-    edge_length_scale: float in (0, inf)
-        Length scale of the Gaussian kernel on edge length.
+        Similarity floor between distinct chemical elements.
+    edge_length_scale: float > 0
+        Gaussian length scale on interatomic distances.
+    kwargs: forwarded to MarginalizedGraphKernel.
     """
 
     def __init__(self, stopping_probability=0.01, starting_probability=1.0,
@@ -33,12 +35,14 @@ class Tang2019MolecularKernel:
 
     def _makekernel(self, **kwargs):
         self.kernel = MarginalizedGraphKernel(
-            TensorProduct(element=KroneckerDelta(self.element_prior)),
-            TensorProduct(
+            node_kernel=TensorProduct(
+                element=KroneckerDelta(self.element_prior)
+            ),
+            edge_kernel=TensorProduct(
                 length=SquareExponential(self.edge_length_scale)
             ),
-            q=self.stopping_probability,
             p=self.starting_probability,
+            q=self.stopping_probability,
             **kwargs
         )
 
@@ -53,6 +57,10 @@ class Tang2019MolecularKernel:
         return self.kernel.hyperparameters
 
     @property
+    def hyperparameter_bounds(self):
+        return self.kernel.hyperparameter_bounds
+
+    @property
     def theta(self):
         return self.kernel.theta
 
@@ -61,14 +69,10 @@ class Tang2019MolecularKernel:
         self.kernel.theta = value
 
     @property
-    def hyperparameter_bounds(self):
-        return self.kernel.hyperparameter_bounds
-
-    @property
     def bounds(self):
         return self.kernel.bounds
 
     def clone_with_theta(self, theta):
-        clone = copy.deepcopy(self)
-        clone.theta = theta
-        return clone
+        twin = copy.deepcopy(self)
+        twin.theta = theta
+        return twin

@@ -1,11 +1,16 @@
-"""Search tree as a dataframe of node rows (reference:
+"""Search-tree container: a column frame of node records with parent and
+children links (fills the role of the reference's
 ``graphdot/model/tree_search/_tree.py:6``)."""
 from ...graph.frame import DataFrame
 
 
 class Tree(DataFrame):
+    """A dataframe whose rows are search-tree nodes; the 'children' column
+    holds nested Trees and 'parent' holds NodeView back-references."""
 
     class NodeView:
+        """Mutable row proxy: attribute access reads/writes tree columns."""
+
         def __init__(self, tree, i):
             self.__dict__.update(tree=tree, i=i)
 
@@ -20,42 +25,45 @@ class Tree(DataFrame):
             self.tree[key][self.i] = val
 
         def __str__(self):
-            return ' '.join([
-                f'{key}:{getattr(self, key)}' for key in self.tree.columns
-            ])
+            pairs = (
+                f'{c}:{getattr(self, c)}' for c in self.tree.columns
+            )
+            return ' '.join(pairs)
 
     def __init__(self, data={}, **kwargs):
-        data = dict(data)
-        data.update(**kwargs)
-        super().__init__(data)
+        merged = dict(data)
+        merged.update(kwargs)
+        super().__init__(merged)
 
     def iternodes(self):
+        """Yield a NodeView per row."""
         for i in range(len(self)):
             yield Tree.NodeView(self, i)
 
-    def _flatten(self, payloads, level=0):
-        entries = []
-        for children, entry in zip(
-            self.children, zip(*[self[key] for key in payloads])
-        ):
-            entries.append([level, *entry])
-            if children is not None:
-                entries += children._flatten(payloads, level=level + 1)
-        return entries
-
     @property
     def flat(self):
-        payloads = [
-            a for a in self.columns if a not in ['parent', 'children']
+        """Depth-first flattening into a plain DataFrame with a 'level'
+        column (parent/children links dropped)."""
+        payload = [
+            c for c in self.columns if c not in ('parent', 'children')
         ]
-        return DataFrame(
-            {key: val for key, val in zip(
-                ['level'] + payloads,
-                list(zip(*self._flatten(payloads)))
-            )}
-        )
+
+        rows = []
+
+        def walk(tree, level):
+            for vals, children in zip(
+                zip(*[tree[c] for c in payload]), tree.children
+            ):
+                rows.append((level,) + vals)
+                if children is not None:
+                    walk(children, level + 1)
+
+        walk(self, 0)
+        columns = dict(zip(['level'] + payload, zip(*rows)))
+        return DataFrame(columns)
 
     def __str__(self):
-        return '\n'.join([
-            '  ' * n.level + str(n) for n in self.flat.itertuples('node')
-        ])
+        return '\n'.join(
+            '  ' * node.level + str(node)
+            for node in self.flat.itertuples('node')
+        )

@@ -1,5 +1,11 @@
-"""Monte Carlo tree search over graph rewrites (reference:
-``graphdot/model/tree_search/graph_transformer.py:9``)."""
+"""Monte Carlo tree search over graph rewrites (fills the role of the
+reference's ``graphdot/model/tree_search/graph_transformer.py:9``).
+
+Search loop per iteration: descend by maximal score (a Gaussian
+target-likelihood plus a UCB exploration bonus), expand the reached leaf
+with the rewriter, score the offspring with a GP surrogate, then propagate
+inverse-variance-weighted means/stds back to the root.
+"""
 import numpy as np
 from scipy.stats import norm
 
@@ -7,22 +13,27 @@ from ...util.iterable import argmax
 from ._tree import Tree
 
 
+def _as_rng(random_state):
+    if isinstance(random_state, np.random.Generator):
+        return random_state
+    if random_state is not None:
+        return np.random.Generator(np.random.PCG64(random_state))
+    return np.random.default_rng()
+
+
 class MCTSGraphTransformer:
-    """A variant of Monte Carlo tree search for optimization and
-    root-finding in a space of graphs: select by likelihood-UCB, expand via
-    a rewriter, evaluate with a GP surrogate (predictive mean + cov), and
-    back-propagate inverse-variance-weighted statistics.
+    """MCTS-based optimization / root finding in a space of graphs.
 
     Parameters
     ----------
-    rewriter: callable
-        Implements the Rewriter interface (node, rng) -> list of graphs.
+    rewriter: callable (node, rng) -> list of graphs
+        Proposes rewritten offspring of a node's graph.
     surrogate: object
-        Predictor with ``predict(X, return_cov=True)``.
+        Property predictor exposing ``predict(X, return_cov=True)``.
     exploration_bias: float
-        Exploitation/exploration trade-off in the UCB score.
+        Weight of the UCB exploration term.
     precision: float
-        Target precision of the search outcome.
+        Floor on predictive stds when scoring against the target.
     """
 
     def __init__(self, rewriter, surrogate, exploration_bias=1.0,
@@ -34,43 +45,44 @@ class MCTSGraphTransformer:
 
     def seek(self, g0, target, maxiter=500, return_tree=False,
              random_state=None):
-        """Transform g0 toward a graph with the target property value;
-        returns the search tree (or its flattened, likelihood-sorted
-        dataframe)."""
-        random_state = self._parse_random_state(random_state)
-        tree = self._spawn(None, [g0])
-        self._evaluate(tree)
+        """Search for graphs whose predicted property approaches
+        ``target``, starting from ``g0``. Returns the search tree, or a
+        likelihood-sorted flat dataframe."""
+        rng = _as_rng(random_state)
+        root = self._spawn(None, [g0])
+        self._evaluate(root)
         for _ in range(maxiter):
-            self._mcts_step(
-                tree,
-                lambda nodes: self._likelihood_ucb(target, nodes),
-                random_state=random_state
-            )
-        if return_tree is True:
-            return tree
-        else:
-            df = tree.flat
-            df['likelihood'] = self._likelihood(target, df)
-            return df.to_pandas().sort_values(
-                ['likelihood'], ascending=False
-            )
-
-    @staticmethod
-    def _parse_random_state(random_state):
-        if isinstance(random_state, np.random.Generator):
-            return random_state
-        elif random_state is not None:
-            return np.random.Generator(np.random.PCG64(random_state))
-        else:
-            return np.random.default_rng()
-
-    def _spawn(self, node, leaves):
-        return Tree(
-            parent=[node] * len(leaves),
-            children=[None] * len(leaves),
-            g=leaves,
-            visits=np.zeros(len(leaves), dtype=int)
+            self._step(root, target, rng)
+        if return_tree:
+            return root
+        flat = root.flat
+        flat['likelihood'] = self._likelihood(target, flat)
+        return flat.to_pandas().sort_values(
+            ['likelihood'], ascending=False
         )
+
+    # -- tree plumbing --------------------------------------------------
+
+    def _spawn(self, parent, graphs):
+        return Tree(
+            parent=[parent] * len(graphs),
+            children=[None] * len(graphs),
+            g=graphs,
+            visits=np.zeros(len(graphs), dtype=int),
+        )
+
+    def _evaluate(self, nodes):
+        """Score fresh nodes with the surrogate's posterior."""
+        mean, cov = self.surrogate.predict(nodes.g, return_cov=True)
+        std = np.sqrt(cov.diagonal())
+        nodes['self_mean'] = mean.copy()
+        nodes['tree_mean'] = mean.copy()
+        nodes['self_std'] = std.copy()
+        nodes['tree_std'] = std.copy()
+        nodes['score'] = np.zeros_like(mean)
+        nodes.visits += 1
+
+    # -- scoring ---------------------------------------------------------
 
     def _likelihood(self, target, nodes):
         return norm.pdf(
@@ -78,53 +90,38 @@ class MCTSGraphTransformer:
             np.maximum(nodes.tree_std, self.precision)
         )
 
-    def _confidence_bounds(self, nodes):
-        return self.exploration_bias * np.sqrt(
+    def _ucb(self, target, nodes):
+        bonus = self.exploration_bias * np.sqrt(
             np.log(nodes.parent[0].visits) / nodes.visits
         )
+        return self._likelihood(target, nodes) + bonus
 
-    def _likelihood_ucb(self, target, nodes):
-        return (
-            self._likelihood(target, nodes)
-            + self._confidence_bounds(nodes)
-        )
+    # -- one MCTS iteration ----------------------------------------------
 
-    def _evaluate(self, nodes):
-        mean, cov = self.surrogate.predict(nodes.g, return_cov=True)
-        nodes['self_mean'] = mean.copy()
-        nodes['tree_mean'] = mean.copy()
-        nodes['self_std'] = cov.diagonal() ** 0.5
-        nodes['tree_std'] = cov.diagonal() ** 0.5
-        nodes['score'] = np.zeros_like(mean)
-        nodes.visits += 1
-
-    def _mcts_step(self, tree, score_fn, random_state):
-        # selection
-        n = next(tree.iternodes())
-        n.visits += 1
-        while n.children is not None:
-            n = argmax(
-                n.children.iternodes(),
-                lambda i, j: i.score < j.score
+    def _step(self, root, target, rng):
+        # selection: walk down the max-score child
+        node = next(root.iternodes())
+        node.visits += 1
+        while node.children is not None:
+            node = argmax(
+                node.children.iternodes(),
+                lambda a, b: a.score < b.score
             )
-            n.visits += 1
+            node.visits += 1
 
-        # expansion
-        n.children = self._spawn(n, self.rewriter(n, random_state))
+        # expansion + simulation
+        node.children = self._spawn(node, self.rewriter(node, rng))
+        self._evaluate(node.children)
 
-        # simulation
-        self._evaluate(n.children)
-
-        # back-propagation
-        p = n
-        while p:
-            p.tree_mean = np.average(
-                p.children.tree_mean,
-                weights=p.children.tree_std ** -2
+        # back-propagation of precision-weighted statistics
+        up = node
+        while up:
+            w = up.children.tree_std ** -2
+            mean = np.average(up.children.tree_mean, weights=w)
+            var = np.average(
+                (up.children.tree_mean - mean) ** 2, weights=w
             )
-            p.tree_std = np.average(
-                (p.children.tree_mean - p.tree_mean) ** 2,
-                weights=p.children.tree_std ** -2
-            ) ** 0.5
-            p.children['score'] = score_fn(p.children)
-            p = p.parent
+            up.tree_mean = mean
+            up.tree_std = np.sqrt(var)
+            up.children['score'] = self._ucb(target, up.children)
+            up = up.parent

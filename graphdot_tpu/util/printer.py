@@ -1,37 +1,46 @@
-"""Markdown table printer (reference: ``graphdot/util/printer.py:5``)."""
+"""Markdown table printer used by verbose training loops (fills the role
+of the reference's ``graphdot/util/printer.py``)."""
 
 
 class markdown:
+    """Stateful row printer: emits a header row once per table."""
 
-    _print_table_header = False
+    _pending_header = False
 
     @classmethod
     def table_start(cls):
-        cls._print_table_header = True
+        """Begin a new table; the next ``table`` call prints a header."""
+        cls._pending_header = True
+
+    @staticmethod
+    def _render(fields):
+        """Format one data row and matching header/separator rows."""
+        cells = [fmt % value for _, fmt, value in fields]
+        titles = []
+        for (title, fmt, _), cell in zip(fields, cells):
+            align = '-' if fmt.startswith('%-') else ''
+            titles.append(f'%{align}{len(cell)}s' % title)
+        rules = ['-' * len(c) for c in cells]
+        return cells, titles, rules
 
     @classmethod
     def table_header(cls, *fields):
-        """Print the header row of a Markdown table.
-
-        Parameters
-        ----------
-        fields: list of (title, format, value) tuples
-            Each tuple sets the title, format, and a dummy value for each
-            column.
-        """
-        strs = [fmt % value for _, fmt, value in fields]
-        align = ['-' if fmt.startswith('%-') else '' for _, fmt, _ in fields]
-        fmts = [f'%{a}{len(s)}s' for a, s in zip(align, strs)]
-        header = '|'.join([fmt % f[0] for f, fmt in zip(fields, fmts)])
-        sep = '|'.join(['-' * len(s) for s in strs])
-        print(f'|{header}|\n|{sep}|')
+        """Print only the header and separator rows."""
+        _, titles, rules = cls._render(fields)
+        print('|' + '|'.join(titles) + '|')
+        print('|' + '|'.join(rules) + '|')
 
     @classmethod
     def table(cls, *fields, print_header='auto'):
-        """Print a row of data in Markdown table format."""
-        if print_header is True or (print_header == 'auto'
-                                    and cls._print_table_header is True):
-            cls.table_header(*fields)
-            cls._print_table_header = False
-        line = '|'.join([fmt % value for _, fmt, value in fields])
-        print(f'|{line}|')
+        """Print one data row; prepend a header when starting a table or
+        when ``print_header=True``."""
+        want_header = (
+            print_header is True
+            or (print_header == 'auto' and cls._pending_header)
+        )
+        cells, titles, rules = cls._render(fields)
+        if want_header:
+            print('|' + '|'.join(titles) + '|')
+            print('|' + '|'.join(rules) + '|')
+            cls._pending_header = False
+        print('|' + '|'.join(cells) + '|')
