@@ -1,19 +1,20 @@
-"""File download helper (reference: ``graphdot/dataset/_get.py:7``)."""
+"""Cached file download helper (fills the role of the reference's
+``graphdot/dataset/_get.py:7``)."""
 import os
 
 
 def get(url, local_filename, overwrite=False, parser=None):
-    """Download a file from a given URL to a local path (cached)."""
-    if not os.path.exists(local_filename) or overwrite is True:
+    """Fetch ``url`` into ``local_filename`` unless it already exists;
+    optionally run ``parser`` on the local path and return its result."""
+    missing = not os.path.exists(local_filename)
+    if missing or overwrite:
         import requests
-        r = requests.get(url)
-        if r.status_code != 200:
+        response = requests.get(url)
+        if response.status_code != 200:
             raise RuntimeError(
                 f'Downloading from {url} failed with HTTP status '
-                f'code {r.status_code}.'
+                f'code {response.status_code}.'
             )
-        open(local_filename, 'wb').write(r.content)
-
-    if parser is not None:
-        return parser(local_filename)
-    return local_filename
+        with open(local_filename, 'wb') as f:
+            f.write(response.content)
+    return parser(local_filename) if parser is not None else local_filename

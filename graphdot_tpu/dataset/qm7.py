@@ -32,30 +32,26 @@ def QM7(download_url='http://quantum-machine.org/data/qm7.mat',
             f'Loading {local_filename} failed due to error: {e}.'
         )
 
-    def _as_objects(array):
-        out = np.empty(len(array), dtype=object)
-        for i, element in enumerate(array):
-            out[i] = element
-        return out
+    def column_of_arrays(stack):
+        return pd.Series(list(stack), dtype=object)
 
-    qm7 = pd.DataFrame(data=dict(
-        coulomb_matrix=_as_objects(mat['X']),
-        atomization_energy=mat['T'].ravel().astype(float),
-        atomic_charge=_as_objects(mat['Z']),
-        xyz=_as_objects(mat['R']),
-        split=np.zeros(7165, dtype=int)
-    ))
+    n = len(mat['T'].ravel())
+    split = np.zeros(n, dtype=int)
+    for fold, members in enumerate(mat['P']):
+        split[members] = fold
 
-    for i, s in enumerate(mat['P']):
-        qm7.loc[s, 'split'] = i
+    qm7 = pd.DataFrame({
+        'coulomb_matrix': column_of_arrays(mat['X']),
+        'atomization_energy': mat['T'].ravel().astype(float),
+        'atomic_charge': column_of_arrays(mat['Z']),
+        'xyz': column_of_arrays(mat['R']),
+        'split': split,
+    })
 
     if ase is True:
-        qm7['atoms'] = qm7.apply(
-            lambda row: make_atoms(
-                row.atomic_charge[row.atomic_charge != 0],
-                row.xyz[row.atomic_charge != 0]
-            ),
-            axis=1
-        )
+        def to_atoms(row):
+            live = row.atomic_charge != 0
+            return make_atoms(row.atomic_charge[live], row.xyz[live])
+        qm7['atoms'] = qm7.apply(to_atoms, axis=1)
 
     return qm7

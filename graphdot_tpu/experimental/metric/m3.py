@@ -71,19 +71,27 @@ class M3:
             for a2 in g2.nodes.itertuples()
         ])
 
-        E, rows, cols = [], [], []
-        for i1, j1, e1 in zip(g1.edges['!i'], g1.edges['!j'],
-                              g1.edges.itertuples()):
-            for i2, j2, e2 in zip(g2.edges['!i'], g2.edges['!j'],
-                                  g2.edges.itertuples()):
-                e = self.edge_kernel(e1, e2)
-                E += [e, e, e, e]
-                rows += [i1 * n2 + i2, j1 * n2 + i2,
-                         j1 * n2 + j2, i1 * n2 + j2]
-                cols += [j1 * n2 + j2, i1 * n2 + j2,
-                         i1 * n2 + i2, j1 * n2 + i2]
+        # product-edge couplings: one entry per orientation combination
+        # of each pair of edges
+        vals, rows, cols = [], [], []
+        edges1 = list(zip(g1.edges['!i'], g1.edges['!j'],
+                          g1.edges.itertuples()))
+        edges2 = list(zip(g2.edges['!i'], g2.edges['!j'],
+                          g2.edges.itertuples()))
+        for i1, j1, e1 in edges1:
+            for i2, j2, e2 in edges2:
+                k = self.edge_kernel(e1, e2)
+                for (a, b), (c, d) in (
+                    ((i1, i2), (j1, j2)),
+                    ((j1, i2), (i1, j2)),
+                    ((j1, j2), (i1, i2)),
+                    ((i1, j2), (j1, i2)),
+                ):
+                    vals.append(k)
+                    rows.append(a * n2 + b)
+                    cols.append(c * n2 + d)
         Ex = scipy.sparse.csc_matrix(
-            (E, (rows, cols)), (n1 * n2, n1 * n2)
+            (vals, (rows, cols)), (n1 * n2, n1 * n2)
         )
 
         Dx = np.kron(d1, d2) / (1 - self.q) ** 2

@@ -1,19 +1,17 @@
-"""Convertor to NetworkX Graph objects (reference:
+"""Graph -> NetworkX export (fills the role of the reference's
 ``graphdot/graph/_to_networkx.py``)."""
 import networkx as nx
 
 
 def _to_networkx(graph):
-    """Convert to NetworkX ``Graph``."""
-    nxgraph = nx.from_pandas_edgelist(
-        graph.edges.to_pandas(),
-        source='!i',
-        target='!j',
-        edge_attr=True
+    """Rebuild a ``networkx.Graph`` carrying all node and edge
+    attributes of this Graph."""
+    out = nx.from_pandas_edgelist(
+        graph.edges.to_pandas(), source='!i', target='!j', edge_attr=True
     )
-    nxgraph.graph['title'] = graph.title
-    nx.set_node_attributes(
-        nxgraph,
-        {i: r._asdict() for i, r in graph.nodes.iterrows()}
-    )
-    return nxgraph
+    out.graph['title'] = graph.title
+    node_attrs = {
+        i: row._asdict() for i, row in graph.nodes.iterrows()
+    }
+    nx.set_node_attributes(out, node_attrs)
+    return out

@@ -1,40 +1,41 @@
-"""Standalone RBF-over-distance kernel for vector data (reference:
-``graphdot/kernel/rbf.py:11``). Uses SymPy lambdify (numpy) instead of the
-reference's compiled ufuncify — no runtime C compilation needed."""
+"""Standalone RBF kernel over vector data (fills the role of the
+reference's ``graphdot/kernel/rbf.py:11``); built on SymPy lambdify
+instead of runtime-compiled ufuncs."""
 from collections import OrderedDict
 
 import numpy as np
 import scipy.spatial.distance
 import sympy
-from sympy.core.sympify import sympify
 from sympy.utilities.lambdify import lambdify
 
 
 class RBFKernel:
-    """A radial basis function kernel k(x, y) = f(||x - y||).
+    """k(x, y) = f(||x - y||) for a SymPy expression f of a distance
+    variable and named hyperparameters.
 
     Parameters
     ----------
     expr: str
-        SymPy expression of the kernel in terms of the distance variable.
+        SymPy expression, e.g. ``'exp(-0.5 * d**2 / s**2)'``.
     x: str
-        Name of the distance variable in ``expr``.
-    hyperparameters: dict
-        name=value pairs of the expression's hyperparameters.
+        The distance variable's name in ``expr``.
+    hyperparameters: name=value pairs for the remaining symbols.
     """
 
     def __init__(self, expr, x, **hyperparameters):
-        self.expr = sympify(expr)
-        self._params = OrderedDict(**hyperparameters)
-        self._param = (
-            sympy.symbols(x),
-            *[sympy.symbols(k) for k in self._params]
+        self.expr = sympy.sympify(expr)
+        self._params = OrderedDict(hyperparameters)
+        symbols = (sympy.Symbol(x),) + tuple(
+            sympy.Symbol(name) for name in self._params
         )
-        self._fun = lambdify(self._param, self.expr)
+        self._fun = lambdify(symbols, self.expr)
         self._grad = [
-            lambdify(self._param, sympy.diff(self.expr, t))
-            for t in self._params
+            lambdify(symbols, self.expr.diff(sympy.Symbol(name)))
+            for name in self._params
         ]
+
+    def _values(self):
+        return tuple(self._params.values())
 
     def get_params(self):
         return self._params
@@ -45,19 +46,16 @@ class RBFKernel:
 
     @theta.setter
     def theta(self, args):
-        for k, v in zip(self._params, np.exp(args)):
-            self._params[k] = v
+        for name, value in zip(self._params, np.exp(args)):
+            self._params[name] = value
 
     def __call__(self, X, Y=None):
-        if Y is None:
-            d = scipy.spatial.distance.cdist(X, X)
-        else:
-            d = scipy.spatial.distance.cdist(X, Y)
-        return self._fun(d, *self._params.values())
+        d = scipy.spatial.distance.cdist(X, X if Y is None else Y)
+        return self._fun(d, *self._values())
 
     def gradient(self, X):
         d = scipy.spatial.distance.cdist(X, X)
-        return [g(d, *self._params.values()) for g in self._grad]
+        return [g(d, *self._values()) for g in self._grad]
 
     def diag(self, X):
-        return self._fun(np.zeros(len(X)), *self._params.values())
+        return self._fun(np.zeros(len(X)), *self._values())

@@ -1,30 +1,30 @@
-"""Microkernels: positive-semidefinite functions between individual nodes
-and edges of graphs (reference: ``graphdot/microkernel/__init__.py``).
+"""Node- and edge-level base kernels ("microkernels").
 
-TPU-native design: each microkernel doubles as (a) a host-side scalar
-callable with analytic jacobians (API parity with the reference) and (b) a
-vectorized jnp expression (``apply``) traced directly into the product-graph
-solver — JAX tracing replaces the reference's CUDA codegen layer entirely.
+A microkernel is a positive-semidefinite similarity on individual node or
+edge features. Each one is simultaneously a host-side scalar callable with
+analytic jacobians (API parity with the reference) and a traced jnp
+expression (``apply``) consumed by the product-graph solver — JAX tracing
+replaces the reference CUDA codegen layer entirely.
 """
-from ._base import MicroKernel, Constant, Normalize
-from .product import Product
-from .kronecker_delta import KroneckerDelta
-from .square_exponential import SquareExponential
-from .rational_quadratic import RationalQuadratic
-from .composite import Composite
+from ._base import Constant, MicroKernel, Normalize
 from .additive import Additive
-from .tensor_product import TensorProduct
+from .composite import Composite
 from .convolution import Convolution
 from .dotproduct import DotProduct
+from .kronecker_delta import KroneckerDelta
+from .product import Product
+from .rational_quadratic import RationalQuadratic
+from .square_exponential import SquareExponential
+from .tensor_product import TensorProduct
 
 __all__ = [
     'MicroKernel',
-    'Product',
     'Constant',
+    'Normalize',
+    'Product',
     'KroneckerDelta',
     'SquareExponential',
     'RationalQuadratic',
-    'Normalize',
     'Composite',
     'TensorProduct',
     'Additive',

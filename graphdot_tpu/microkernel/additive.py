@@ -1,8 +1,9 @@
-"""Additive composite (reference: ``graphdot/microkernel/additive.py:6``)."""
+"""Sum-reduced multi-feature kernel."""
 from .composite import Composite
 
 
 def Additive(**kw_kernels):
-    r"""Alias of ``Composite('+', **kw_kernels)``:
-    :math:`k_\oplus(X, Y) = \sum_{a} k_a(X_a, Y_a)`"""
+    r"""Sums per-feature microkernels:
+    :math:`k(X, Y) = \sum_a k_a(X_a, Y_a)`. Shorthand for
+    ``Composite('+', **kw_kernels)``."""
     return Composite('+', **kw_kernels)

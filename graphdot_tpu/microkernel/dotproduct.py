@@ -1,5 +1,4 @@
-"""Dot product microkernel (reference:
-``graphdot/microkernel/dotproduct.py:8``)."""
+"""Inner-product microkernel on vector-valued features."""
 import numpy as np
 import jax.numpy as jnp
 
@@ -7,8 +6,8 @@ from ._base import MicroKernel
 
 
 def DotProduct():
-    r"""Computes the inner product between two vector-valued features.
-    No tunable hyperparameters."""
+    r"""Plain inner product :math:`k(x, y) = \langle x, y \rangle` on
+    vector features. Has no hyperparameters."""
 
     class DotProductKernel(MicroKernel):
 
@@ -16,16 +15,12 @@ def DotProduct():
         def name(self):
             return 'DotProduct'
 
-        def __call__(self, X, Y, jac=False):
-            X = np.asarray(X)
-            Y = np.asarray(Y)
-            if jac is True:
-                return X @ Y, np.array([])
-            else:
-                return X @ Y
-
         def __repr__(self):
             return f'{self.name}()'
+
+        def __call__(self, X, Y, jac=False):
+            value = np.asarray(X) @ np.asarray(Y)
+            return (value, np.array([])) if jac is True else value
 
         @property
         def n_theta(self):
@@ -33,8 +28,8 @@ def DotProduct():
 
         def apply(self, theta, X, Y):
             # variable-length features arrive as (values, mask) with a
-            # trailing padded axis; padded values are zero so a plain
-            # contraction is exact.
+            # trailing padded axis; padding is zero so a plain
+            # contraction is exact
             vx, _ = X
             vy, _ = Y
             return jnp.sum(vx * vy, axis=-1)

@@ -1,5 +1,4 @@
-"""Kronecker delta microkernel (reference:
-``graphdot/microkernel/kronecker_delta.py:9``)."""
+"""Kronecker delta microkernel on categorical features."""
 import numpy as np
 import jax.numpy as jnp
 
@@ -8,42 +7,40 @@ from ._base import MicroKernel
 
 
 def KroneckerDelta(h, h_bounds=(1e-3, 1)):
-    r"""Returns 1 when two features compare equal and ``h`` otherwise:
-    :math:`k_\delta(i, j) = \begin{cases} 1, i = j \\ h, \text{otherwise}
-    \end{cases}`.
+    r"""Equality test with a tunable floor: 1 when the two features
+    compare equal, ``h`` otherwise.
 
     Parameters
     ----------
     h: float in (0, 1)
-        The value of the microkernel when two features do not compare
-        equal.
-    h_bounds: tuple or "fixed"
-        Lower and upper optimization bounds, or "fixed".
+        Baseline similarity between unequal features.
+    h_bounds: (lo, hi) or "fixed"
+        Training range of ``h`` ("fixed" excludes it from optimization).
     """
 
     class KroneckerDeltaKernel(MicroKernel):
-
-        @property
-        def name(self):
-            return 'KroneckerDelta'
 
         def __init__(self, h, h_bounds):
             self.h = float(h)
             self.h_bounds = h_bounds
             self._assert_bounds('h', h_bounds)
 
-        def __call__(self, i, j, jac=False):
-            if jac is True:
-                return (
-                    1.0 if i == j else self.h,
-                    np.array([0.0 if i == j else 1.0])
-                )
-            else:
-                return 1.0 if i == j else self.h
+        @property
+        def name(self):
+            return 'KroneckerDelta'
 
         def __repr__(self):
             return f'{self.name}({self.h})'
 
+        # host-side scalar semantics + analytic jacobian
+        def __call__(self, i, j, jac=False):
+            equal = (i == j)
+            value = 1.0 if equal else self.h
+            if jac is True:
+                return value, np.array([0.0 if equal else 1.0])
+            return value
+
+        # traced vectorized semantics
         @property
         def n_theta(self):
             return 1
@@ -51,6 +48,7 @@ def KroneckerDelta(h, h_bounds=(1e-3, 1)):
         def apply(self, theta, X, Y):
             return jnp.where(X == Y, 1.0, theta[0])
 
+        # hyperparameter protocol
         @property
         def theta(self):
             return pretty_tuple(self.name, ['h'])(self.h)

@@ -1,5 +1,4 @@
-"""Square exponential microkernel (reference:
-``graphdot/microkernel/square_exponential.py:7``)."""
+"""Square-exponential (Gaussian/RBF) microkernel."""
 import numpy as np
 
 from ._base import MicroKernel
@@ -7,18 +6,17 @@ from ._base import MicroKernel
 SquareExponential = MicroKernel.from_sympy(
     'SquareExponential',
 
-    r"""A square exponential kernel smoothly transitions from 1 to 0 as the
-    distance between two vectors increases from zero to infinity, i.e.
-    :math:`k_\mathrm{se}(\mathbf{x}, \mathbf{y}) = \exp(-\frac{1}{2}
-    \frac{\lVert \mathbf{x} - \mathbf{y} \rVert^2}{\sigma^2})`""",
+    r"""Gaussian similarity on scalar features: decays smoothly from 1
+    toward 0 with the squared distance between the inputs,
+    :math:`k(x, y) = \exp(-\frac{(x - y)^2}{2\sigma^2})`.""",
 
     'exp(-0.5 * (x - y)**2 * length_scale**-2)',
 
     ('x', 'y'),
 
     ('length_scale', np.float32, 1e-6, np.inf,
-     r"""Determines how quickly the kernel decays to zero: approx. 0.606 at
-     one length scale, 0.135 at two, and 0.011 at three."""),
+     r"""Distance scale of the decay: the kernel falls to ~0.61 at one
+     length scale and is negligible (~0.01) beyond three."""),
 
     minmax=(0, 1)
 )

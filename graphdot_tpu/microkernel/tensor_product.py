@@ -1,9 +1,9 @@
-"""Tensor product composite (reference:
-``graphdot/microkernel/tensor_product.py:6``)."""
+"""Product-reduced multi-feature kernel."""
 from .composite import Composite
 
 
 def TensorProduct(**kw_kernels):
-    r"""Alias of ``Composite('*', **kw_kernels)``:
-    :math:`k_\otimes(X, Y) = \prod_{a} k_a(X_a, Y_a)`"""
+    r"""Multiplies per-feature microkernels:
+    :math:`k(X, Y) = \prod_a k_a(X_a, Y_a)`. Shorthand for
+    ``Composite('*', **kw_kernels)``."""
     return Composite('*', **kw_kernels)

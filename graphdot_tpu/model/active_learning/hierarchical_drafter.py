@@ -1,24 +1,28 @@
-"""Hierarchical representative-sample selection (reference:
-``graphdot/model/active_learning/hierarchical_drafter.py:6``)."""
+"""Hierarchical representative-sample selection (fills the role of the
+reference's ``graphdot/model/active_learning/hierarchical_drafter.py:6``).
+
+Selecting n representatives from a large set with an O(N^2)-or-worse
+selector is made tractable by recursive k-way divide and conquer: each
+branch forwards an oversampled shortlist (a*n/k candidates) so the parent
+selector always has headroom to correct branch-local choices.
+"""
 import numpy as np
 
 
 class HierarchicalDrafter:
-    """Hierarchically select representative samples from a large dataset
-    via recursive k-way divide-and-conquer, carrying ``a * n / k`` samples
-    per branch so the leaf selector always has headroom.
+    """Divide-and-conquer wrapper around an expensive subset selector.
 
     Parameters
     ----------
-    selector: callable
-        Picks a given number of samples from a dataset to maximize an
-        acquisition function (e.g. VarianceMinimizer).
+    selector: callable(X, n) -> indices
+        The leaf-level selection algorithm (e.g. VarianceMinimizer).
     k: int > 1
-        Branching factor of the hierarchy.
+        Branching factor.
     a: float in (1, k]
         Oversampling multiplier per level.
     leaf_ratio: float in (0, 1) or 'auto'
-        Stop dividing when the output/input ratio exceeds this.
+        When output/input exceeds this ratio, select directly instead of
+        dividing further.
     """
 
     def __init__(self, selector, k=2, a=2, leaf_ratio='auto'):
@@ -30,11 +34,10 @@ class HierarchicalDrafter:
         self.leaf_ratio = 0.5 if leaf_ratio == 'auto' else leaf_ratio
 
     def __call__(self, X, n, random_state=None, verbose=False):
-        """Pick a sorted list of n sample indices from X."""
+        """Pick a sorted array of n sample indices from X."""
         assert len(X) >= n
         if not isinstance(X, np.ndarray):
             X = np.asarray(X, dtype=object)
-
         if isinstance(random_state, np.random.Generator):
             rng = random_state
         elif random_state is not None:
@@ -42,25 +45,25 @@ class HierarchicalDrafter:
         else:
             rng = np.random.default_rng()
 
-        return np.sort(
-            self._pick(X, rng.permutation(len(X)), n, verbose=verbose)
-        )
+        shuffled = rng.permutation(len(X))
+        return np.sort(self._pick(X, shuffled, n, verbose=verbose))
 
-    def _pick(self, X, nominee, n, lvl=0, verbose=False):
+    def _pick(self, X, pool, n, depth=0, verbose=False):
         if verbose:
             print(
-                (' ' * lvl) + f'C_{len(nominee)}_{n}',
-                n / len(nominee), self.leaf_ratio
+                ' ' * depth + f'C_{len(pool)}_{n}',
+                n / len(pool), self.leaf_ratio
             )
-        if len(nominee) <= n:
-            return nominee
-        elif n / len(nominee) < self.leaf_ratio and n > self.k / self.a:
-            stops = np.linspace(0, len(nominee), self.k + 1, dtype=int)
-            nominee = np.concatenate([
-                self._pick(
-                    X, nominee[b:e], int(n * self.a // self.k), lvl + 1,
-                    verbose=verbose
-                )
-                for b, e in zip(stops[:-1], stops[1:])
-            ])
-        return nominee[self.selector(X[nominee], n)]
+        if len(pool) <= n:
+            return pool
+        if n / len(pool) < self.leaf_ratio and n > self.k / self.a:
+            # recurse: each of the k branches forwards a*n/k candidates
+            carry = int(n * self.a // self.k)
+            cuts = np.linspace(0, len(pool), self.k + 1, dtype=int)
+            shortlists = [
+                self._pick(X, pool[lo:hi], carry, depth + 1,
+                           verbose=verbose)
+                for lo, hi in zip(cuts[:-1], cuts[1:])
+            ]
+            pool = np.concatenate(shortlists)
+        return pool[self.selector(X[pool], n)]

@@ -43,40 +43,38 @@ class GaussianFieldRegressor:
         X = np.asarray(X)
         y = np.asarray(y, dtype=float)
 
-        if hasattr(self.weight, 'theta') and self.optimizer:
-            try:
-                objective = {
-                    'ale': self.average_label_entropy,
-                    'average-label-entropy': self.average_label_entropy,
-                    'loocv1': self.loocv_error_1,
-                    'loocv2': self.loocv_error_2,
-                }[loss]
-            except KeyError:
-                raise RuntimeError(f"Unknown loss function '{loss}'")
+        trainable = hasattr(self.weight, 'theta') and self.optimizer
+        if not trainable:
+            return self
 
-            def xgen(n):
-                x0 = self.weight.theta.copy()
-                yield x0
-                yield from x0 + theta_jitter * np.random.randn(
-                    n - 1, len(x0)
-                )
+        losses = {
+            'ale': self.average_label_entropy,
+            'average-label-entropy': self.average_label_entropy,
+            'loocv1': self.loocv_error_1,
+            'loocv2': self.loocv_error_2,
+        }
+        if loss not in losses:
+            raise RuntimeError(f"Unknown loss function '{loss}'")
+        objective = losses[loss]
 
-            opt = self._hyper_opt(
-                method=self.optimizer,
-                fun=lambda theta, objective=objective: objective(
-                    X, y, theta=theta, eval_gradient=True, verbose=verbose
-                ),
-                xgen=xgen(repeat), tol=tol, verbose=verbose
-            )
-            if verbose:
-                print(f'Optimization result:\n{opt}')
-            if opt.success:
-                self.weight.theta = opt.x
-            else:
-                raise RuntimeError(
-                    f'Optimizer did not converge, got:\n{opt}'
-                )
+        def restarts():
+            x0 = self.weight.theta.copy()
+            yield x0
+            for _ in range(repeat - 1):
+                yield x0 + theta_jitter * np.random.randn(len(x0))
 
+        opt = self._hyper_opt(
+            method=self.optimizer,
+            fun=lambda theta: objective(
+                X, y, theta=theta, eval_gradient=True, verbose=verbose
+            ),
+            xgen=restarts(), tol=tol, verbose=verbose
+        )
+        if verbose:
+            print(f'Optimization result:\n{opt}')
+        if not opt.success:
+            raise RuntimeError(f'Optimizer did not converge, got:\n{opt}')
+        self.weight.theta = opt.x
         return self
 
     def predict(self, X, y, return_influence=False):
@@ -214,13 +212,14 @@ class GaussianFieldRegressor:
             z, dz, t_metric, t_solve, t_chain = self._predict_gradient(X, y)
         else:
             z = self._predict(X, y)
-        eps = 1e-7
-        z = np.minimum(1 - eps, np.maximum(eps, z))
-        loss = -np.mean(z * np.log(z) + (1 - z) * np.log(1 - z))
+        z = np.clip(z, 1e-7, 1 - 1e-7)
+        entropy = -(z * np.log(z) + (1 - z) * np.log1p(-z))
+        loss = entropy.mean()
         if eval_gradient is True:
-            # dW from the weight is already log-scale, so no extra chain
-            dloss = np.log(z) - np.log(1 - z)
-            grad = -np.mean(dloss[:, None] * dz, axis=0)
+            # dW from the weight is already log-scale, so no extra chain;
+            # d(-entropy)/dz = log(z) - log(1-z) = logit(z)
+            logit = np.log(z) - np.log1p(-z)
+            grad = -np.mean(logit[:, None] * dz, axis=0)
             retval = (loss, grad)
         else:
             retval = loss
@@ -248,45 +247,43 @@ class GaussianFieldRegressor:
         y = y[labeled]
         n = len(y)
         t_metric = time.perf_counter()
+        dW = None
         if eval_gradient is True:
             W, dW = self.weight(X[labeled], eval_gradient=True)
+        elif isinstance(self.weight, str) and \
+                self.weight == 'precomputed':
+            W = X[labeled, :][:, labeled]
         else:
-            if isinstance(self.weight, str) and \
-                    self.weight == 'precomputed':
-                W = X[labeled, :][:, labeled]
-            else:
-                W = self.weight(X[labeled])
+            W = self.weight(X[labeled])
         t_metric = time.perf_counter() - t_metric
 
         t_chain = time.perf_counter()
         W = W + self.smoothing
         D = W.sum(axis=1)
-        P = (1 / D)[:, None] * W
-        e = y - P @ y
-        loocv_error_p = np.mean(np.abs(e) ** p)
-        loocv_error = loocv_error_p ** (1 / p)
+        e = y - (W @ y) / D
+        mean_p = np.mean(np.abs(e) ** p)
+        loocv_error = mean_p ** (1 / p)
+        retval = loocv_error
         if eval_gradient is True:
-            derr_de = (
-                loocv_error_p ** (1 / p - 1) * np.abs(e) ** (p - 1)
-                * np.sign(e) / n
+            # chain: d|e|_p/de_m, then
+            # de_m/dW_ab = delta_ma (Wy)_a/D_a^2 - delta_ma y_b/D_a
+            de = (
+                mean_p ** (1 / p - 1)
+                * np.abs(e) ** (p - 1) * np.sign(e) / n
             )
-            # e_m = y_m - sum_n W_mn y_n / D_m;
-            # de_m/dW_ab = delta_ma * (P @ y - y)_b ... expanded:
-            derr_dtheta = (
-                np.einsum(
-                    'm,mnj->j', derr_de / D ** 2 * (W @ y), dW
-                )
-                - np.einsum('m,n,mnj->j', derr_de / D, y, dW)
+            row_coef = de * (W @ y) / D ** 2
+            col_coef = de / D
+            grad = (
+                np.einsum('m,mnj->j', row_coef, dW)
+                - np.einsum('m,n,mnj->j', col_coef, y, dW)
             )
-            retval = (loocv_error, derr_dtheta)
-        else:
-            retval = loocv_error
+            retval = (loocv_error, grad)
         t_chain = time.perf_counter() - t_chain
 
         if verbose and eval_gradient is True:
             mprint.table(
                 ('LOOCV Err.', '%12.5g', loocv_error),
-                ('Gradient', '%12.5g', np.linalg.norm(derr_dtheta)),
+                ('Gradient', '%12.5g', np.linalg.norm(grad)),
                 ('Metric time', '%12.2g', t_metric),
                 ('BackProp time', '%14.2g', t_chain),
             )

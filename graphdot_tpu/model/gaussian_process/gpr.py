@@ -1,4 +1,4 @@
-"""Gaussian process regression (reference:
+"""Gaussian process regression (fills the role of the reference's
 ``graphdot/model/gaussian_process/gpr.py:9``)."""
 import time
 
@@ -9,24 +9,25 @@ from .base import GaussianProcessRegressorBase
 
 
 class GaussianProcessRegressor(GaussianProcessRegressorBase):
-    """Gaussian process regression (GPR) model.
+    """GPR over arbitrary objects through a kernel.
 
     Parameters
     ----------
     kernel: kernel instance
         The covariance function of the GP.
     alpha: float > 0
-        Diagonal regularization added to the kernel matrix during fitting.
+        Diagonal regularization of the kernel matrix during fitting
+        (observation noise / numerical jitter).
     beta: float > 0
-        Singular-value cutoff for the pseudoinverse fallback.
+        Singular-value cutoff of the pseudoinverse fallback.
     optimizer: str, True, None, or callable
-        scipy.optimize.minimize method; True selects L-BFGS-B; None skips
-        hyperparameter optimization.
+        A scipy.optimize.minimize method name; True means L-BFGS-B; None
+        disables hyperparameter optimization.
     normalize_y: bool
-        Normalize targets to zero mean and unit variance during fitting.
+        Standardize targets during fitting (undone at prediction).
     regularization: '+'/'additive' or '*'/'multiplicative'
     kernel_options: dict
-        Extra options forwarded to kernel invocations.
+        Extra keyword arguments for every kernel invocation.
     """
 
     def __init__(self, kernel, alpha=1e-8, beta=1e-8, optimizer=None,
@@ -37,52 +38,43 @@ class GaussianProcessRegressor(GaussianProcessRegressorBase):
         )
         self.alpha = alpha
         self.beta = beta
-        self.optimizer = optimizer
-        if optimizer is True:
-            self.optimizer = 'L-BFGS-B'
+        self.optimizer = 'L-BFGS-B' if optimizer is True else optimizer
+
+    # -- training ---------------------------------------------------------
 
     def fit(self, X, y, loss='likelihood', tol=1e-5, repeat=1,
             theta_jitter=1.0, verbose=False):
-        """Train the GPR model, optionally optimizing hyperparameters by
-        maximum likelihood or LOOCV error minimization.
-
-        Returns self.
-        """
+        """Fit the model; when an optimizer is configured, first minimize
+        the chosen loss ('likelihood' or 'loocv') over log-theta with
+        multi-restart L-BFGS. Returns self."""
         self.X = X
         self.y = y
 
         if self.optimizer:
-            if loss == 'likelihood':
-                objective = self.log_marginal_likelihood
-            elif loss == 'loocv':
-                objective = self.squared_loocv_error
-            else:
+            objective = {
+                'likelihood': self.log_marginal_likelihood,
+                'loocv': self.squared_loocv_error,
+            }.get(loss)
+            if objective is None:
                 raise RuntimeError(f'Unknown loss function: {loss}.')
-
-            def xgen(n):
-                x0 = self.kernel.theta.copy()
-                yield x0
-                yield from x0 + theta_jitter * np.random.randn(
-                    n - 1, len(x0)
-                )
 
             opt = self._hyper_opt(
                 method=self.optimizer,
-                fun=lambda theta, objective=objective: objective(
+                fun=lambda theta: objective(
                     theta, eval_gradient=True, clone_kernel=False,
                     verbose=verbose
                 ),
-                xgen=xgen(repeat), tol=tol, verbose=verbose
+                xgen=self._theta_restarts(repeat, theta_jitter),
+                tol=tol, verbose=verbose
             )
             if verbose:
                 print(f'Optimization result:\n{opt}')
-            if opt.success:
-                self.kernel.theta = opt.x
-            else:
+            if not opt.success:
                 raise RuntimeError(
                     f'Training using the {loss} loss did not converge, '
                     f'got:\n{opt}'
                 )
+            self.kernel.theta = opt.x
 
         K = self._gramian(self.alpha, self._X)
         self.K = K = K[self._y_mask, :][:, self._y_mask]
@@ -91,102 +83,112 @@ class GaussianProcessRegressor(GaussianProcessRegressorBase):
         return self
 
     def fit_loocv(self, X, y, **options):
-        """Alias of ``fit(X, y, loss='loocv', **options)``."""
+        """Fit with the LOOCV loss."""
         return self.fit(X, y, loss='loocv', **options)
 
+    def _theta_restarts(self, repeat, jitter):
+        x0 = self.kernel.theta.copy()
+        yield x0
+        for _ in range(repeat - 1):
+            yield x0 + jitter * np.random.randn(len(x0))
+
+    # -- prediction -------------------------------------------------------
+
     def predict(self, Z, return_std=False, return_cov=False):
-        """Predict mean (and optionally std or covariance) at query
-        points."""
+        """Posterior mean at Z, optionally with std or covariance."""
         if not hasattr(self, 'Kinv'):
             raise RuntimeError('Model not trained.')
         Ks = self._gramian(None, Z, self._X)[:, self._y_mask]
-        ymean = (Ks @ self.Ky) * self._ystd + self._ymean
-        if return_std is True:
+        mean = (Ks @ self.Ky) * self._ystd + self._ymean
+        if return_std:
             Kss = self._gramian(self.alpha, Z, diag=True)
-            std = np.sqrt(
-                np.maximum(0, Kss - (Ks @ (self.Kinv @ Ks.T)).diagonal())
-            )
-            return (ymean, std * self._ystd)
-        elif return_cov is True:
+            residual = Kss - (Ks @ (self.Kinv @ Ks.T)).diagonal()
+            return mean, np.sqrt(np.maximum(0, residual)) * self._ystd
+        if return_cov:
             Kss = self._gramian(self.alpha, Z)
             cov = np.maximum(0, Kss - Ks @ (self.Kinv @ Ks.T))
-            return (ymean, cov * self._ystd ** 2)
-        else:
-            return ymean
+            return mean, cov * self._ystd ** 2
+        return mean
 
     def predict_loocv(self, Z, z, return_std=False):
-        """Leave-one-out cross-validation prediction via the closed form
-        e = K^-1 z / diag(K^-1)."""
-        z_mask, z_masked = self.mask(z)
+        """Leave-one-out predictions via the closed form
+        z* = z - K⁻¹z / diag(K⁻¹) (no refitting)."""
+        z_mask, z = self.mask(z)
         if self.normalize_y is True:
-            z_mean, z_std = np.mean(z_masked), np.std(z_masked)
-            z = (z_masked - z_mean) / z_std
+            z_mean, z_std = np.mean(z), np.std(z)
+            z = (z - z_mean) / z_std
         else:
             z_mean, z_std = 0, 1
-            z = z_masked
 
         K = self._gramian(self.alpha, Z)[z_mask, :][:, z_mask]
         Kinv, _ = self._invert(K, rcond=self.beta)
         if not isinstance(Kinv, np.ndarray):
             Kinv = Kinv.todense()
-        Kinv_diag = Kinv.diagonal()
-        ymean = (z - Kinv @ z / Kinv_diag) * z_std + z_mean
-        if return_std is True:
-            std = np.sqrt(1 / np.maximum(Kinv_diag, 1e-14))
-            return (ymean, std * z_std)
-        else:
-            return ymean
+        prec = Kinv.diagonal()
+        mean = (z - Kinv @ z / prec) * z_std + z_mean
+        if return_std:
+            std = np.sqrt(1 / np.maximum(prec, 1e-14))
+            return mean, std * z_std
+        return mean
 
-    def log_marginal_likelihood(self, theta=None, X=None, y=None,
-                                eval_gradient=False, clone_kernel=True,
-                                verbose=False):
-        """Negative log-marginal likelihood yᵀK⁻¹y + log|K| of log-scale
-        hyperparameters theta (and its gradient w.r.t. theta)."""
-        theta = theta if theta is not None else self.kernel.theta
-        X = X if X is not None else self._X
-        if y is not None:
-            y_mask, y = self.mask(y)
-        else:
-            y = self._y
-            y_mask = self._y_mask
+    # -- objectives -------------------------------------------------------
 
-        if clone_kernel is True:
+    def _masked_gramian(self, theta, X, y, eval_gradient, clone_kernel):
+        """Kernel matrix (and jacobian) at theta, restricted to rows with
+        valid targets."""
+        if clone_kernel:
             kernel = self.kernel.clone_with_theta(theta)
         else:
             kernel = self.kernel
             kernel.theta = theta
-
-        t_kernel = time.perf_counter()
-        if eval_gradient is True:
+        t0 = time.perf_counter()
+        if eval_gradient:
             K, dK = self._gramian(self.alpha, X, kernel=kernel, jac=True)
-            K = K[y_mask, :][:, y_mask]
-            dK = dK[y_mask, :, :][:, y_mask, :]
         else:
             K = self._gramian(self.alpha, X, kernel=kernel)
-            K = K[y_mask, :][:, y_mask]
-        t_kernel = time.perf_counter() - t_kernel
+            dK = None
+        elapsed = time.perf_counter() - t0
+        return K, dK, elapsed
 
-        t_linalg = time.perf_counter()
+    def log_marginal_likelihood(self, theta=None, X=None, y=None,
+                                eval_gradient=False, clone_kernel=True,
+                                verbose=False):
+        """Negative log-marginal likelihood yᵀK⁻¹y + log|K| at log-scale
+        theta (gradient w.r.t. theta when requested)."""
+        theta = self.kernel.theta if theta is None else theta
+        X = self._X if X is None else X
+        if y is None:
+            y, y_mask = self._y, self._y_mask
+        else:
+            y_mask, y = self.mask(y)
+
+        K, dK, t_kernel = self._masked_gramian(
+            theta, X, y, eval_gradient, clone_kernel
+        )
+        K = K[y_mask, :][:, y_mask]
+        if dK is not None:
+            dK = dK[y_mask, :, :][:, y_mask, :]
+
+        t0 = time.perf_counter()
         Kinv, logdet = self._invert(K, rcond=self.beta)
         Ky = Kinv @ y
         yKy = y @ Ky
+        nlml = yKy + logdet
 
-        if eval_gradient is True:
-            if not isinstance(Kinv, np.ndarray):
-                Kinv = Kinv.todense()
-            d_theta = (
-                np.einsum('ij,ijk->k', Kinv, dK)
-                - np.einsum('i,ijk,j', Ky, dK, Ky)
+        if eval_gradient:
+            Kinv_dense = (
+                Kinv if isinstance(Kinv, np.ndarray) else Kinv.todense()
             )
-            retval = (yKy + logdet, d_theta * np.exp(theta))
-        else:
-            retval = yKy + logdet
-        t_linalg = time.perf_counter() - t_linalg
+            # d(nlml)/dt = tr(K⁻¹ dK) - (K⁻¹y)ᵀ dK (K⁻¹y), in log scale
+            trace_term = np.einsum('ij,ijk->k', Kinv_dense, dK)
+            quad_term = np.einsum('i,ijk,j->k', Ky, dK, Ky)
+            grad = (trace_term - quad_term) * np.exp(theta)
+        t_linalg = time.perf_counter() - t0
 
-        if verbose and eval_gradient is True:
+        if verbose and eval_gradient:
             mprint.table(
-                ('logP', '%12.5g', yKy + logdet),
-                ('dlogP', '%12.5g', np.linalg.norm(d_theta)),
+                ('logP', '%12.5g', nlml),
+                ('dlogP', '%12.5g', np.linalg.norm(grad)),
                 ('y^T.K.y', '%12.5g', yKy),
                 ('log|K| ', '%12.5g', logdet),
                 ('Cond(K)', '%12.5g', np.linalg.cond(K)),
@@ -194,67 +196,53 @@ class GaussianProcessRegressor(GaussianProcessRegressorBase):
                 ('t_linalg', '%10.2g', t_linalg),
             )
 
-        return retval
+        return (nlml, grad) if eval_gradient else nlml
 
     def squared_loocv_error(self, theta=None, X=None, y=None,
                             eval_gradient=False, clone_kernel=True,
                             verbose=False):
-        """Squared LOOCV error of log-scale hyperparameters theta (and its
-        gradient)."""
-        theta = theta if theta is not None else self.kernel.theta
-        X = X if X is not None else self._X
-        if y is not None:
+        """Half the squared LOOCV residual norm at log-scale theta, with
+        its analytic gradient when requested."""
+        theta = self.kernel.theta if theta is None else theta
+        X = self._X if X is None else X
+        if y is None:
+            y, y_mask = self._y, self._y_mask
+        else:
             y_mask, y = self.mask(y)
-        else:
-            y = self._y
-            y_mask = self._y_mask
 
-        if clone_kernel is True:
-            kernel = self.kernel.clone_with_theta(theta)
-        else:
-            kernel = self.kernel
-            kernel.theta = theta
-
-        t_kernel = time.perf_counter()
-        if eval_gradient is True:
-            K, dK = self._gramian(self.alpha, X, kernel=kernel, jac=True)
-            K = K[y_mask, :][:, y_mask]
+        K, dK, t_kernel = self._masked_gramian(
+            theta, X, y, eval_gradient, clone_kernel
+        )
+        K = K[y_mask, :][:, y_mask]
+        if dK is not None:
             dK = dK[y_mask, :, :][:, y_mask, :]
-        else:
-            K = self._gramian(self.alpha, X, kernel=kernel)
-            K = K[y_mask, :][:, y_mask]
-        t_kernel = time.perf_counter() - t_kernel
 
-        t_linalg = time.perf_counter()
+        t0 = time.perf_counter()
         Kinv, logdet = self._invert(K, rcond=self.beta)
         if not isinstance(Kinv, np.ndarray):
             Kinv = Kinv.todense()
-        Kinv_diag = Kinv.diagonal()
+        prec = Kinv.diagonal()
         Ky = Kinv @ y
-        e = Ky / Kinv_diag
-        squared_error = 0.5 * np.sum(e ** 2)
+        e = Ky / prec
+        loss = 0.5 * np.sum(e ** 2)
 
-        if eval_gradient is True:
-            D_theta = np.zeros_like(theta)
-            for i, t in enumerate(theta):
-                dk = dK[:, :, i]
-                KdK = Kinv @ dk
-                D_theta[i] = (
-                    - (e / Kinv_diag) @ (KdK @ Ky)
-                    + (e ** 2 / Kinv_diag) @ (KdK @ Kinv).diagonal()
-                ) * np.exp(t)
-            retval = (squared_error, D_theta)
-        else:
-            retval = squared_error
-        t_linalg = time.perf_counter() - t_linalg
+        if eval_gradient:
+            # d(e_i) through K⁻¹ dK K⁻¹ terms, vectorized over theta
+            KdK = np.einsum('ia,abk->ibk', Kinv, dK)
+            term1 = np.einsum('i,ijk,j->k', e / prec, KdK, Ky)
+            term2 = np.einsum(
+                'i,ijk,ji->k', e ** 2 / prec, KdK, Kinv
+            )
+            grad = (term2 - term1) * np.exp(theta)
+        t_linalg = time.perf_counter() - t0
 
-        if verbose:
+        if verbose and eval_gradient:
             mprint.table(
-                ('Sq.Err.', '%12.5g', squared_error),
+                ('Sq.Err.', '%12.5g', loss),
                 ('log|K| ', '%12.5g', logdet),
                 ('Cond(K)', '%12.5g', np.linalg.cond(K)),
                 ('t_kernel', '%10.2g', t_kernel),
                 ('t_linalg', '%10.2g', t_linalg),
             )
 
-        return retval
+        return (loss, grad) if eval_gradient else loss

@@ -1,47 +1,51 @@
-"""Tree-of-iterables helpers for hyperparameter flattening.
-
-API parity with the reference ``graphdot/util/iterable.py`` (flatten,
-fold_like, replace, argmax) — used for the flat log-theta <-> hierarchical
-hyperparameter-tree round trip.
-"""
+"""Tree-of-iterables helpers for hyperparameter flattening (fill the role
+of the reference's ``graphdot/util/iterable.py``): the flat log-theta <->
+hierarchical hyperparameter-tree round trip."""
 
 
 def flatten(iterable):
     """Depth-first iteration through a tree of lists/tuples."""
-    for item in iterable:
+    stack = [iter(iterable)]
+    while stack:
+        try:
+            item = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
         if isinstance(item, (list, tuple)):
-            yield from flatten(item)
+            stack.append(iter(item))
         else:
             yield item
 
 
 def fold_like(flat, example):
     """Reshape a flat sequence into the tree structure of ``example``."""
-    flat = list(flat)
-    folded = []
-    for item in example:
-        if hasattr(item, '__iter__'):
-            n = len(list(flatten(item)))
-            folded.append(fold_like(flat[:n], item))
-            flat = flat[n:]
-        else:
-            folded.append(flat[0])
-            flat = flat[1:]
-    return tuple(folded)
+    it = iter(flat)
+
+    def build(template):
+        out = []
+        for node in template:
+            if hasattr(node, '__iter__'):
+                out.append(build(node))
+            else:
+                out.append(next(it))
+        return tuple(out)
+
+    return build(example)
 
 
 def replace(iterable, old, new):
-    """Yield items, replacing every occurrence of ``old`` with ``new``."""
+    """Yield items, substituting every occurrence of ``old`` with
+    ``new``."""
     for item in iterable:
-        if item == old:
-            yield new
-        else:
-            yield item
+        yield new if item == old else item
 
 
 def argmax(iterable, less):
+    """The element that is not ``less`` than any other, by pairwise
+    comparison."""
     best = None
-    for i in iterable:
-        if best is None or less(best, i):
-            best = i
+    for candidate in iterable:
+        if best is None or less(best, candidate):
+            best = candidate
     return best
