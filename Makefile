@@ -1,6 +1,6 @@
 PYTHON ?= python
 
-.PHONY: test lint bench native clean
+.PHONY: test lint bench native native-test clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -15,6 +15,12 @@ bench:
 native:
 	g++ -O3 -march=native -shared -fPIC \
 	    -o graphdot_tpu/native/_packer.so graphdot_tpu/native/packer.cpp
+
+native-test:
+	g++ -O2 -o /tmp/graphdot_tpu_test_packer \
+	    graphdot_tpu/native/test_packer.cpp \
+	    graphdot_tpu/native/packer.cpp
+	/tmp/graphdot_tpu_test_packer
 
 clean:
 	rm -f graphdot_tpu/native/_packer.so

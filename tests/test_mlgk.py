@@ -400,3 +400,21 @@ def test_diag_gradient_full_dims():
     assert dd.shape == (len(d), k.n_dims)
     d2, dd2 = k.diag(G, eval_gradient=True, nodal=True)
     assert dd2.shape == (len(d), len(k.theta))
+
+
+def test_alt_mgk_explicit_pairs():
+    """AltMarginalizedGraphKernel evaluates K only at requested pairs and
+    agrees with the full Gram matrix."""
+    from graphdot_tpu.experimental.alternative_mgk import (
+        AltMarginalizedGraphKernel
+    )
+    c = CASES['weighted']
+    G = c['graphs']
+    full = MarginalizedGraphKernel(c['knode'], c['kedge'], q=0.1)
+    alt = AltMarginalizedGraphKernel(c['knode'], c['kedge'], q=0.1)
+    R = full(G)
+    ij = [(0, 1), (1, 1), (0, 0), (1, 0)]
+    v = alt(G, ij)
+    assert v.shape == (4,)
+    want = [R[i, j] for i, j in ij]
+    assert np.allclose(v, want, rtol=1e-5)
