@@ -6,15 +6,31 @@ hyperparameters) can be traced, jitted, sharded, and differentiated
 end-to-end. This is the inference-facing counterpart of
 ``MarginalizedGraphKernel.__call__`` (which returns numpy and targets the
 sklearn-style API).
+
+Size bucketing (``buckets='auto'``, the default): graphs are partitioned
+into padded-size classes and each class-pair group is solved at its own
+static shapes inside the same traced function, so small graph pairs are
+not padded to the global maximum — the static analogue of the reference's
+per-pair dynamic CUDA blocks (``graphdot/kernel/marginalized/template.cu``
+job loop). Each group gets its own convergence loop, so quickly-converging
+small pairs stop iterating early instead of riding along with the largest
+pair in the batch.
 """
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..graph.batch import batch_graphs
+from ..graph.batch import batch_graphs, _round_up
 from ..kernel.marginalized._solver import mlgk_solve, weight_by_p
 from ..kernel.marginalized.starting_probability import Adhoc
 from ..util.iterable import flatten
+
+# total device bytes allowed for precomputed incidence one-hots
+_ONEHOT_BUDGET = 1 << 29
+
+
+def _as_jnp_tree(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
 class GramFactory:
@@ -28,9 +44,16 @@ class GramFactory:
     normalize: bool
         If True, returns the cosine-normalized Gram matrix
         K_ij / sqrt(K_ii K_jj) (the standard choice for GPR on MLGK).
+    buckets: 'auto' | bool
+        Solve size-bucketed pair groups at their own padded shapes.
+        'auto' enables bucketing whenever the graph set spans more than
+        one padded-size class.
+    node_align: int
+        Padded node counts are rounded up to multiples of this.
     """
 
-    def __init__(self, kernel, graphs, normalize=True):
+    def __init__(self, kernel, graphs, normalize=True, buckets='auto',
+                 node_align=8):
         # unwrap a Normalization fix if present
         if hasattr(kernel, 'kernel') and not hasattr(kernel, 'node_kernel'):
             kernel = kernel.kernel
@@ -39,68 +62,156 @@ class GramFactory:
         self.graphs = list(graphs)
         self.normalize = normalize
 
-        batch = batch_graphs(self.graphs)
         mode = kernel.backend.mode
-        bd = {
-            'node_mask': jnp.asarray(batch.node_mask),
-            'degree': jnp.asarray(batch.degree),
-            'node_feats': jax.tree_util.tree_map(
-                jnp.asarray, batch.node_feats
-            ),
-        }
-        if mode == 'dense':
-            bd['adj'] = jnp.asarray(batch.adj)
-            bd['edge_feats'] = jax.tree_util.tree_map(
-                jnp.asarray, batch.edge_feats
-            )
-        else:
-            for f in ('esrc', 'edst', 'ew'):
-                bd[f] = jnp.asarray(getattr(batch, f))
-            bd['edge_elist_feats'] = jax.tree_util.tree_map(
-                jnp.asarray, batch.edge_elist_feats
-            )
-        self._batch = bd
         self._mode = mode
-        self._n_pad = batch.node_mask.shape[1]
-
         n = len(self.graphs)
+        self._n = n
         iu, ju = np.triu_indices(n)
         self._iu = jnp.asarray(iu.astype(np.int32))
         self._ju = jnp.asarray(ju.astype(np.int32))
-        self._n = n
-
-        self._onehots = {}
-        n_pairs = len(iu)
-        m_pad_ = batch.esrc.shape[1]
-        onehot_bytes = 4 * n_pairs * m_pad_ * batch.node_mask.shape[1]
-        if mode != 'dense' and onehot_bytes < (1 << 29):
-            n_pad = batch.node_mask.shape[1]
-            oh_src = jax.nn.one_hot(
-                jnp.asarray(batch.esrc), n_pad, dtype=jnp.float32
-            )
-            oh_dst = jax.nn.one_hot(
-                jnp.asarray(batch.edst), n_pad, dtype=jnp.float32
-            )
-            self._onehots = {
-                'oh_src_1': oh_src[self._iu],
-                'oh_dst_1': oh_dst[self._iu],
-                'oh_src_2': oh_src[self._ju],
-                'oh_dst_2': oh_dst[self._ju],
-            }
-
-        self._p_fixed = None
-        if isinstance(kernel.p, Adhoc):
-            pf = np.zeros((n, self._n_pad), dtype=np.float32)
-            for b, g in enumerate(self.graphs):
-                p_values, _ = kernel.p(g.nodes)
-                p_values = np.asarray(p_values, dtype=np.float32)
-                order = np.argsort(np.asarray(g.nodes['!i']))
-                pf[b, :len(g.nodes)] = p_values[order]
-            self._p_fixed = jnp.asarray(pf)
 
         self._n_p = len(list(flatten(kernel.p.theta)))
         self._active = np.asarray(kernel.active_theta_mask)
         self._full0 = np.asarray(kernel.flat_hyperparameters, dtype=float)
+
+        # ---- global batch (used by the sharded path and as the
+        # single-group fallback) ----
+        batch = batch_graphs(self.graphs, node_align=node_align)
+        self._n_pad = batch.node_mask.shape[1]
+        self._batch = self._batch_dict(batch)
+
+        self._p_fixed = None
+        if isinstance(kernel.p, Adhoc):
+            self._p_fixed = jnp.asarray(
+                self._adhoc_p_rows(range(n), self._n_pad))
+
+        # ---- size classes ----
+        sizes = [len(g.nodes) for g in self.graphs]
+        classes = {}
+        for gi, s in enumerate(sizes):
+            classes.setdefault(_round_up(s, node_align), []).append(gi)
+        if buckets == 'auto':
+            buckets = len(classes) > 1
+        self._bucketed = bool(buckets) and len(classes) > 1
+
+        if self._bucketed:
+            self._build_groups(classes, node_align, iu, ju)
+        else:
+            self._groups = None
+            self._onehots = {}
+            n_pairs = len(iu)
+            if mode != 'dense':
+                m_pad = batch.esrc.shape[1]
+                if 4 * 4 * n_pairs * m_pad * self._n_pad < _ONEHOT_BUDGET:
+                    oh_src = jax.nn.one_hot(
+                        jnp.asarray(batch.esrc), self._n_pad,
+                        dtype=jnp.float32)
+                    oh_dst = jax.nn.one_hot(
+                        jnp.asarray(batch.edst), self._n_pad,
+                        dtype=jnp.float32)
+                    self._onehots = {
+                        'oh_src_1': oh_src[self._iu],
+                        'oh_dst_1': oh_dst[self._iu],
+                        'oh_src_2': oh_src[self._ju],
+                        'oh_dst_2': oh_dst[self._ju],
+                    }
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    def _batch_dict(self, batch):
+        bd = {
+            'node_mask': jnp.asarray(batch.node_mask),
+            'degree': jnp.asarray(batch.degree),
+            'node_feats': _as_jnp_tree(batch.node_feats),
+        }
+        if self._mode == 'dense':
+            bd['adj'] = jnp.asarray(batch.adj)
+            bd['edge_feats'] = _as_jnp_tree(batch.edge_feats)
+        else:
+            for f in ('esrc', 'edst', 'ew'):
+                bd[f] = jnp.asarray(getattr(batch, f))
+            bd['edge_elist_feats'] = _as_jnp_tree(batch.edge_elist_feats)
+        return bd
+
+    def _adhoc_p_rows(self, indices, n_pad):
+        """Evaluate an Adhoc starting probability on the given graphs,
+        in node order, padded to ``n_pad``."""
+        pf = np.zeros((len(list(indices)), n_pad), dtype=np.float32)
+        for r, gi in enumerate(indices):
+            g = self.graphs[gi]
+            p_values, _ = self.kernel.p(g.nodes)
+            p_values = np.asarray(p_values, dtype=np.float32)
+            order = np.argsort(np.asarray(g.nodes['!i']))
+            pf[r, :len(g.nodes)] = p_values[order]
+        return pf
+
+    def _build_groups(self, classes, node_align, iu, ju):
+        """Per-size-class batches plus class-pair job groups."""
+        n = self._n
+        class_of = np.empty(n, dtype=np.int64)
+        local_of = np.empty(n, dtype=np.int64)
+        cbatches = {}
+        cpfix = {}
+        for ck, members in classes.items():
+            for li, gi in enumerate(members):
+                class_of[gi] = ck
+                local_of[gi] = li
+            cbatches[ck] = self._batch_dict(batch_graphs(
+                [self.graphs[gi] for gi in members],
+                n_pad=ck, node_align=node_align))
+            if isinstance(self.kernel.p, Adhoc):
+                cpfix[ck] = jnp.asarray(self._adhoc_p_rows(members, ck))
+            else:
+                cpfix[ck] = None
+
+        jobs = {}
+        for p, (gi, gj) in enumerate(zip(iu, ju)):
+            ca, cb = class_of[gi], class_of[gj]
+            a, b = (gj, gi) if ca > cb else (gi, gj)
+            key = (min(ca, cb), max(ca, cb))
+            jobs.setdefault(key, []).append(
+                (gi, gj, local_of[a], local_of[b]))
+
+        # one-hot byte budget is split pro-rata by group demand
+        demands = {}
+        if self._mode != 'dense':
+            for (ca, cb), entries in jobs.items():
+                ma = cbatches[ca]['esrc'].shape[1]
+                mb = cbatches[cb]['esrc'].shape[1]
+                demands[(ca, cb)] = \
+                    4 * 2 * len(entries) * (ma * ca + mb * cb)
+        within_budget = sum(demands.values()) < _ONEHOT_BUDGET
+
+        self._groups = []
+        for key in sorted(jobs):
+            ca, cb = key
+            gi, gj, la, lb = map(
+                np.asarray, zip(*jobs[key]))
+            grp = {
+                'ca': ca, 'cb': cb,
+                'batch1': cbatches[ca], 'batch2': cbatches[cb],
+                'pfix1': cpfix[ca], 'pfix2': cpfix[cb],
+                'gi': jnp.asarray(gi.astype(np.int32)),
+                'gj': jnp.asarray(gj.astype(np.int32)),
+                'idx1': jnp.asarray(la.astype(np.int32)),
+                'idx2': jnp.asarray(lb.astype(np.int32)),
+                'onehots': {},
+            }
+            if self._mode != 'dense' and within_budget:
+                for side, (bd, ck) in enumerate(
+                        [(cbatches[ca], ca), (cbatches[cb], cb)]):
+                    idx = grp['idx1'] if side == 0 else grp['idx2']
+                    for nm in ('src', 'dst'):
+                        oh = jax.nn.one_hot(
+                            bd['e' + nm][idx], ck, dtype=jnp.float32)
+                        grp['onehots'][f'oh_{nm}_{side + 1}'] = oh
+            self._groups.append(grp)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
 
     @property
     def n_active(self):
@@ -119,61 +230,82 @@ class GramFactory:
             jnp.exp(theta_log_active).astype(jnp.float32)
         )
 
-    def gram(self, theta_log_active, lmin=0):
-        """The (optionally normalized) Gram matrix as a traced function of
-        the log-scale active hyperparameters."""
-        theta = self.full_theta(theta_log_active)
-        kernel = self.kernel
-        batch = self._batch
-        idx1, idx2 = self._iu, self._ju
-
+    def _group_ops(self, batch1, batch2, idx1, idx2, onehots):
+        """Assemble the solver operand dict for one job group, gathering
+        per-side features from (possibly distinct) class batches."""
         def g(tree, idx):
             return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
         ops = {
-            'node_feats_1': g(batch['node_feats'], idx1),
-            'node_feats_2': g(batch['node_feats'], idx2),
-            'node_mask_1': batch['node_mask'][idx1],
-            'node_mask_2': batch['node_mask'][idx2],
-            'degree_1': batch['degree'][idx1],
-            'degree_2': batch['degree'][idx2],
-            'ftol': jnp.float32(kernel.ftol),
+            'node_feats_1': g(batch1['node_feats'], idx1),
+            'node_feats_2': g(batch2['node_feats'], idx2),
+            'node_mask_1': batch1['node_mask'][idx1],
+            'node_mask_2': batch2['node_mask'][idx2],
+            'degree_1': batch1['degree'][idx1],
+            'degree_2': batch2['degree'][idx2],
+            'ftol': jnp.float32(self.kernel.ftol),
         }
         if self._mode == 'dense':
-            ops['adj_1'] = batch['adj'][idx1]
-            ops['adj_2'] = batch['adj'][idx2]
-            ops['edge_feats_1'] = g(batch['edge_feats'], idx1)
-            ops['edge_feats_2'] = g(batch['edge_feats'], idx2)
+            ops['adj_1'] = batch1['adj'][idx1]
+            ops['adj_2'] = batch2['adj'][idx2]
+            ops['edge_feats_1'] = g(batch1['edge_feats'], idx1)
+            ops['edge_feats_2'] = g(batch2['edge_feats'], idx2)
         else:
             for f in ('esrc', 'edst', 'ew'):
-                ops[f + '_1'] = batch[f][idx1]
-                ops[f + '_2'] = batch[f][idx2]
+                ops[f + '_1'] = batch1[f][idx1]
+                ops[f + '_2'] = batch2[f][idx2]
             ops['edge_elist_feats_1'] = g(
-                batch['edge_elist_feats'], idx1
-            )
+                batch1['edge_elist_feats'], idx1)
             ops['edge_elist_feats_2'] = g(
-                batch['edge_elist_feats'], idx2
-            )
+                batch2['edge_elist_feats'], idx2)
             # theta-independent incidence one-hots, built once per
             # factory (saves ~1/3 of the per-call setup cost)
-            for key, arr in self._onehots.items():
-                ops[key] = arr
+            ops.update(onehots)
+        return ops
 
-        maxiter = min(self._n_pad * self._n_pad, 10000)
+    def _group_r(self, theta, ops, pfix1, pfix2, idx1, idx2, lmin,
+                 maxiter):
+        """Solve one job group and reduce to per-pair kernel values."""
+        kernel = self.kernel
         x, Vx, valid = mlgk_solve(
             theta, ops, knode=kernel.node_kernel,
             kedge=kernel.edge_kernel, n_p_theta=self._n_p, lmin=lmin,
             mode=self._mode, maxiter=maxiter
         )
-        pf1 = self._p_fixed[idx1] if self._p_fixed is not None else None
-        pf2 = self._p_fixed[idx2] if self._p_fixed is not None else None
+        pf1 = pfix1[idx1] if pfix1 is not None else None
+        pf2 = pfix2[idx2] if pfix2 is not None else None
         p1 = kernel.p.apply(theta[:self._n_p], ops['node_mask_1'], pf1)
         p2 = kernel.p.apply(theta[:self._n_p], ops['node_mask_2'], pf2)
-        r = jnp.sum(weight_by_p(x, p1, p2), axis=(1, 2))
+        return jnp.sum(weight_by_p(x, p1, p2), axis=(1, 2))
 
-        K = jnp.zeros((self._n, self._n), dtype=r.dtype)
-        K = K.at[idx1, idx2].set(r)
-        K = K.at[idx2, idx1].set(r)
+    def gram(self, theta_log_active, lmin=0):
+        """The (optionally normalized) Gram matrix as a traced function of
+        the log-scale active hyperparameters."""
+        theta = self.full_theta(theta_log_active)
+        K = jnp.zeros((self._n, self._n), dtype=jnp.float32)
+
+        if self._groups is None:
+            ops = self._group_ops(
+                self._batch, self._batch, self._iu, self._ju,
+                self._onehots)
+            maxiter = min(self._n_pad * self._n_pad, 10000)
+            r = self._group_r(
+                theta, ops, self._p_fixed, self._p_fixed,
+                self._iu, self._ju, lmin, maxiter)
+            K = K.at[self._iu, self._ju].set(r)
+            K = K.at[self._ju, self._iu].set(r)
+        else:
+            for grp in self._groups:
+                ops = self._group_ops(
+                    grp['batch1'], grp['batch2'],
+                    grp['idx1'], grp['idx2'], grp['onehots'])
+                maxiter = min(grp['ca'] * grp['cb'], 10000)
+                r = self._group_r(
+                    theta, ops, grp['pfix1'], grp['pfix2'],
+                    grp['idx1'], grp['idx2'], lmin, maxiter)
+                K = K.at[grp['gi'], grp['gj']].set(r)
+                K = K.at[grp['gj'], grp['gi']].set(r)
+
         if self.normalize:
             d = jnp.sqrt(jnp.diagonal(K))
             K = K / d[:, None] / d[None, :]
