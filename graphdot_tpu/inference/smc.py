@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .hmc import hmc_init, hmc_step
+from .nuts import nuts_step
 
 
 def _systematic_resample(rng, log_w, n):
@@ -53,14 +54,20 @@ def _next_beta(log_like, beta, target_frac, n):
 
 def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
                n_moves=3, step_size=0.2, target_frac=0.5,
-               max_stages=50, use_hmc=False, n_leapfrog=8, mesh=None,
-               particle_axis='chains'):
+               max_stages=50, moves='rw', use_hmc=False, n_leapfrog=8,
+               max_depth=6, mesh=None, particle_axis='chains'):
     """SMC sampling of p(t) ∝ exp(log_prior(t) + log_like(t)).
 
     Parameters
     ----------
     log_prior, log_like: callables [D] -> scalar.
     init: [n_particles, D] initial draws from the prior.
+    moves: 'rw' | 'hmc' | 'nuts' — the mutation kernel at each
+        tempering stage. Random-walk MH is cheapest per move; gradient
+        moves ('hmc', and especially the self-tuning 'nuts') mix far
+        better for high-dimensional hyperparameter posteriors.
+    use_hmc: deprecated alias for ``moves='hmc'``.
+    max_depth: NUTS tree-depth bound for ``moves='nuts'``.
     mesh: optional jax.sharding.Mesh — particles are sharded along
         ``particle_axis``; the resampling weight softmax/cumsum is the
         all-gather collective call site (SURVEY.md §2.9.3).
@@ -70,6 +77,10 @@ def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
     dict with 'samples' [n_particles, D], 'log_evidence', 'n_stages',
     'beta_history' (padded with 1.0).
     """
+    if use_hmc:
+        moves = 'hmc'
+    if moves not in ('rw', 'hmc', 'nuts'):
+        raise ValueError(f"unknown mutation kernel {moves!r}")
     init = jnp.asarray(init, dtype=jnp.float32)
     n, D = init.shape
     if mesh is not None:
@@ -87,16 +98,20 @@ def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
         def logp(t):
             return log_prior(t) + beta * log_like(t)
 
-        if use_hmc:
+        if moves in ('hmc', 'nuts'):
             states = jax.vmap(lambda q: hmc_init(logp, q))(particles)
+            if moves == 'hmc':
+                def kern(k, s):
+                    return hmc_step(k, s, logp, eps, jnp.ones(D),
+                                    n_leapfrog)
+            else:
+                def kern(k, s):
+                    return nuts_step(k, s, logp, eps, jnp.ones(D),
+                                     max_depth=max_depth)
 
             def one(states, key):
                 keys = jax.random.split(key, n)
-                states, infos = jax.vmap(
-                    lambda k, s: hmc_step(
-                        k, s, logp, eps, jnp.ones(D), n_leapfrog
-                    )
-                )(keys, states)
+                states, infos = jax.vmap(kern)(keys, states)
                 return states, jnp.mean(infos['accept_prob'])
 
             states, acc = jax.lax.scan(
@@ -144,10 +159,13 @@ def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
         idx = _systematic_resample(k_res, lw, n)
         particles = particles[idx]
         particles, acc = mutate(k_mut, particles, new_beta, eps)
-        # crude step-size control toward ~30% RW acceptance
+        # crude step-size control: toward ~30% acceptance for RW,
+        # toward the ~80% canonical target for gradient moves
         acc = float(acc)
-        if not use_hmc:
+        if moves == 'rw':
             eps = eps * (1.3 if acc > 0.4 else (0.7 if acc < 0.2 else 1.0))
+        else:
+            eps = eps * (1.2 if acc > 0.9 else (0.7 if acc < 0.6 else 1.0))
         betas.append(new_beta)
         beta = new_beta
         stage += 1

@@ -71,6 +71,29 @@ def test_smc_gaussian():
     assert out['beta_history'][-1] == 1.0
 
 
+@pytest.mark.parametrize('moves', ['hmc', 'nuts'])
+def test_smc_gradient_moves(moves):
+    """Gradient-based SMC mutation kernels recover the target moments
+    with far fewer particles/moves than random walk."""
+    D = 4
+    logp, mu, cov = _gauss_target(D, seed=7)
+
+    def log_prior(t):
+        return -0.5 * jnp.sum((t / 5.0) ** 2)
+
+    def log_like(t):
+        return logp(t) - log_prior(t)
+
+    init = 5.0 * jax.random.normal(jax.random.PRNGKey(8), (256, D))
+    out = smc_sample(
+        log_prior, log_like, jax.random.PRNGKey(9), init=init,
+        n_moves=3, step_size=0.3, moves=moves
+    )
+    s = np.asarray(out['samples'])
+    assert np.abs(s.mean(0) - mu).max() < 0.35
+    assert out['beta_history'][-1] == 1.0
+
+
 def test_advi_gaussian():
     D = 3
     logp, mu, cov = _gauss_target(D, seed=3)
