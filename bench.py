@@ -33,10 +33,14 @@ def main():
     graphs = random_molecule_set(42, n_graphs, n_atoms_range=(9, 24))
     n_pairs = n_graphs * (n_graphs + 1) // 2
 
+    # the fused Pallas PCG backend is the production TPU path; set
+    # GRAPHDOT_BENCH_BACKEND=edge to time the pure-XLA solver instead
+    import os
+    backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'pallas')
     kernel = MarginalizedGraphKernel(
         TensorProduct(element=KroneckerDelta(0.2)),
         TensorProduct(length=SquareExponential(0.3)),
-        q=0.05,
+        q=0.05, backend=backend,
     )
     factory = GramFactory(kernel, graphs, normalize=True)
     theta0 = jnp.asarray(factory.theta0, dtype=jnp.float32)

@@ -324,14 +324,18 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     n_true = jnp.sum(mask1, axis=1) * jnp.sum(mask2, axis=1)
     tol = ops['ftol'] * n_true
 
-    if mode == 'pallas' and n1 == n2:
+    if mode == 'pallas':
         # primal/tangent solves run in the fused VMEM-resident kernel;
         # the XLA matvec above is still what autodiff differentiates.
-        # (rectangular n1 != n2 bucket pairs fall back to the XLA PCG)
         from ...ops.pallas_pcg import pallas_pcg_solver
+        pmode = {
+            lax.Precision.DEFAULT: 'default',
+            lax.Precision.HIGH: 'split2',
+            lax.Precision.HIGHEST: 'highest',
+        }[_PRECISION]
         solve_impl = pallas_pcg_solver(
             T, oh_src1, oh_dst1, oh_src2, oh_dst2,
-            diag_coef, precond_diag, tol, maxiter
+            diag_coef, precond_diag, tol, maxiter, mode=pmode
         )
 
     x = solve_linear(
