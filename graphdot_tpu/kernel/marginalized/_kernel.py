@@ -292,8 +292,15 @@ class MarginalizedGraphKernel:
             p_fixed = jnp.asarray(p_fixed)
         return batch, batch_dict, p_fixed
 
-    def _chunk_size(self, n_pad, m_pad):
-        """Job-chunk size bounded by the solver's working-set memory."""
+    def _chunk_size(self, n_pad, m_pad, eval_gradient=False,
+                    nodal=False):
+        """Job-chunk size bounded by the solver's working-set memory.
+
+        Forward-mode jacobians (``jacfwd``) carry one tangent per
+        hyperparameter through the solve, and nodal gradients
+        additionally materialize [chunk, n, n, n_theta] outputs — both
+        scale the per-pair working set by ~n_theta (ROADMAP: nodal
+        protein workloads)."""
         budget = 1 << 26  # floats (~256 MB f32)
         if self.backend.mode == 'dense':
             per_pair = max(n_pad ** 4, 1)
@@ -301,6 +308,11 @@ class MarginalizedGraphKernel:
             per_pair = max(
                 m_pad * m_pad + 4 * m_pad * n_pad + 8 * n_pad * n_pad, 1
             )
+        if eval_gradient:
+            n_theta = max(int(self.n_dims), 1)
+            per_pair *= 1 + n_theta
+            if nodal:
+                per_pair += n_pad * n_pad * n_theta
         return int(np.clip(budget // per_pair, 1, 4096))
 
     def _run_chunks(self, fn, theta, bd1, bd2, pf1, pf2, i_jobs,
@@ -363,7 +375,8 @@ class MarginalizedGraphKernel:
             batch, batch_dict, p_fixed = self._prepare_batch(graphs)
             n_pad = batch.node_mask.shape[1]
             m_pad = batch.esrc.shape[1]
-            chunk = self._chunk_size(n_pad, m_pad)
+            chunk = self._chunk_size(
+                n_pad, m_pad, eval_gradient=eval_gradient, nodal=nodal)
             out, grad_out = self._run_chunks(
                 fn, theta, batch_dict, batch_dict, p_fixed, p_fixed,
                 i_jobs, j_jobs, chunk, lmin, eval_gradient
@@ -402,7 +415,8 @@ class MarginalizedGraphKernel:
             m_pad = max(
                 batches[ca][0].esrc.shape[1], batch_b.esrc.shape[1]
             )
-            chunk = self._chunk_size(cb, m_pad)
+            chunk = self._chunk_size(
+                cb, m_pad, eval_gradient=eval_gradient, nodal=nodal)
             ps, l1, l2, swaps = map(np.asarray, zip(*entries))
             out, grad_out = self._run_chunks(
                 fn, theta, bd1, bd2, pf1, pf2, l1, l2, chunk, lmin,
