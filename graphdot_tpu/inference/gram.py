@@ -278,6 +278,16 @@ class GramFactory:
         p2 = kernel.p.apply(theta[:self._n_p], ops['node_mask_2'], pf2)
         return jnp.sum(weight_by_p(x, p1, p2), axis=(1, 2))
 
+    def _group_ops_solve(self, batch1, batch2, pfix1, pfix2, lmin,
+                         maxiter, theta, idx1, idx2):
+        """Solve one job group given raw local index arrays. Used by the
+        sharded path (``parallel.gram.sharded_gram_fn``), where ``idx1``/
+        ``idx2`` are the local shard of the job list and the incidence
+        one-hots are built in-trace from it."""
+        ops = self._group_ops(batch1, batch2, idx1, idx2, {})
+        return self._group_r(
+            theta, ops, pfix1, pfix2, idx1, idx2, lmin, maxiter)
+
     def gram(self, theta_log_active, lmin=0):
         """The (optionally normalized) Gram matrix as a traced function of
         the log-scale active hyperparameters."""

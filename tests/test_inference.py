@@ -159,11 +159,12 @@ def test_gp_nuts_short_chain(gp_problem):
     assert np.asarray(out['divergent']).mean() < 0.5
 
 
-def test_sharded_gram_matches(gp_problem):
+@pytest.mark.parametrize('buckets', [False, 'auto'])
+def test_sharded_gram_matches(gp_problem, buckets):
     kernel, graphs, y = gp_problem
     from graphdot_tpu.inference import GramFactory
     from graphdot_tpu.parallel import make_mesh, sharded_gram_fn
-    factory = GramFactory(kernel, graphs)
+    factory = GramFactory(kernel, graphs, buckets=buckets)
     mesh = make_mesh({'pairs': -1})
     t0 = jnp.asarray(factory.theta0, dtype=jnp.float32)
     K1 = np.asarray(factory.gram(t0))
