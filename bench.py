@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from graphdot_tpu.util import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

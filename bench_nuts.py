@@ -15,6 +15,9 @@ import numpy as np
 
 
 def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
+    from graphdot_tpu.util import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -31,10 +34,14 @@ def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
         -10.0 * len(g.nodes) + rng.normal() for g in graphs
     ])
 
+    # fused Pallas PCG is the production TPU path (see bench.py);
+    # GRAPHDOT_BENCH_BACKEND=edge selects the pure-XLA solver
+    import os
+    backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'pallas')
     kernel = MarginalizedGraphKernel(
         TensorProduct(element=KroneckerDelta(0.2)),
         TensorProduct(length=SquareExponential(0.3)),
-        q=0.05,
+        q=0.05, backend=backend,
     )
     logprob = GPRLogProb(kernel, graphs, y, alpha=1e-2, normalize_y=True)
     init = jnp.asarray(logprob.theta0, dtype=jnp.float32)

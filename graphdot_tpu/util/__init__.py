@@ -2,6 +2,8 @@
 import time
 from collections import OrderedDict
 
+from .compile_cache import enable_compilation_cache  # noqa: F401
+
 
 def add_classmethod(cls, override=False):
     def decorate(func):
