@@ -146,6 +146,11 @@ class LookAheadSequenceRewriter(AbstractRewriter):
 
     def _rewrite(self, s):
         """Apply one random insert/mutate/delete edit to the sequence."""
+        if len(s) == 0:
+            # insertion is the only valid edit on an empty sequence
+            # (the reference raises from ``rng.choice(0)`` here,
+            # ``graphdot/model/tree_search/_rewriter.py:190``)
+            return self._insert(s, 0)
         op_idx = self.rng.choice(3, p=self.p_imd)
         op = [self._insert, self._mutate, self._delete][op_idx]
         k = self.rng.choice(len(s))
