@@ -83,7 +83,7 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
     diag = diag_ref[:]
     precond = precond_ref[:]
     b = b_ref[:]
-    tol = tol_ref[:, 0:1][:, :, None]    # [B, 1, 1]
+    tol = tol_ref[:, :, 0:1]             # [B, 1, 1]
     maxiter = maxiter_ref[0]
     mm = _make_mm(mode)
 
@@ -144,11 +144,25 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
 def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
                       maxiter, mode='split2'):
     """Returns a ``solve(b_flat)`` closure over the system operands, for
-    use as the primal/tangent solver inside ``lax.custom_linear_solve``.
+    use as the primal/tangent solver inside ``lax.custom_linear_solve``,
+    or ``None`` when even a single pair's working set cannot fit in VMEM
+    (protein-scale graphs) — the caller then falls back to the XLA PCG.
     Handles pair-count padding and CPU interpret mode transparently."""
     P = T.shape[0]
+    M1, M2 = T.shape[-2:]
     N1, N2 = diag.shape[-2:]
-    B = int(max(1, min(16, P)))
+    # pairs per program bounded by the VMEM working set: resident
+    # operands + CG state + the split-operand matvec intermediates
+    # (the Hadamard product and its bf16 hi/lo halves are all M1 x M2).
+    # (>16 also crashes the current remote Mosaic compiler.)
+    bytes_per_pair = 4 * (
+        5 * M1 * M2 + 2 * M1 * N1 + 2 * M2 * N2 + 14 * N1 * N2
+        + 2 * M1 * N2 + 2 * N1 * M2
+    )
+    if bytes_per_pair > (12 << 20):
+        return None
+    budget = 8 << 20
+    B = int(max(1, min(16, P, budget // max(bytes_per_pair, 1))))
     P_pad = -(-P // B) * B
     interpret = jax.default_backend() != 'tpu'
 
@@ -209,7 +223,7 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
         )
 
     maxiter_arr = jnp.full((1,), maxiter, dtype=jnp.int32)
-    tol = jnp.broadcast_to(tol[:, None], (P, 128))
+    tol = jnp.broadcast_to(tol[:, None, None], (P, 1, 128))
 
     passes = {'split2': 2, 'default': 1, 'highest': 6}[mode]
     flops_matvec = 2 * B * (M1 * N1 * N2 + M1 * M2 * N2 + N1 * M1 * M2
@@ -227,8 +241,7 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
             specs((N1, N2)),         # diag
             specs((N1, N2)),         # precond
             specs((N1, N2)),         # b
-            pl.BlockSpec((B, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),  # tol (lane-replicated)
+            specs((1, 128)),         # tol (lane-replicated)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # maxiter
         ],
         out_specs=specs((N1, N2)),
