@@ -455,3 +455,21 @@ def test_pallas_backend_matches_edge():
     ge = np.asarray(jax.grad(lambda t: jnp.sum(fe.gram(t) ** 2))(t0))
     gp = np.asarray(jax.grad(lambda t: jnp.sum(fp.gram(t) ** 2))(t0))
     assert np.allclose(ge, gp, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_solver_vmem_fallback():
+    """Protein-scale working sets (> ~12MB/pair) must make
+    ``pallas_pcg_solver`` return None so the solver falls back to the
+    XLA PCG instead of exceeding VMEM."""
+    import jax.numpy as jnp
+    from graphdot_tpu.ops.pallas_pcg import pallas_pcg_solver
+
+    def mk(P, M, N):
+        T = jnp.zeros((P, M, M))
+        oh = jnp.zeros((P, M, N))
+        d = jnp.ones((P, N, N))
+        return pallas_pcg_solver(
+            T, oh, oh, oh, oh, d, d, jnp.ones(P), maxiter=8)
+
+    assert mk(4, 848, 152) is None          # 150-residue proteins
+    assert mk(4, 64, 24) is not None        # molecules fit fine
