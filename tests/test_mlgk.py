@@ -473,3 +473,22 @@ def test_pallas_solver_vmem_fallback():
 
     assert mk(4, 848, 152) is None          # 150-residue proteins
     assert mk(4, 64, 24) is not None        # molecules fit fine
+
+
+def test_bucketed_cross_similarity():
+    """Bucketed solving also covers rectangular X-vs-Y job lists
+    (class partition spans both graph sets)."""
+    from graphdot_tpu.testing import random_molecule_set
+    X = random_molecule_set(1, 6, n_atoms_range=(5, 24))
+    Y = random_molecule_set(2, 5, n_atoms_range=(5, 24))
+    knode = TensorProduct(element=KroneckerDelta(0.2))
+    kedge = TensorProduct(length=SquareExponential(0.3))
+    k_flat = MarginalizedGraphKernel(knode, kedge, q=0.05)
+    k_buck = MarginalizedGraphKernel(knode, kedge, q=0.05, buckets=True)
+    R1 = k_flat(X, Y)
+    R2 = k_buck(X, Y)
+    assert R1.shape == (6, 5)
+    assert np.allclose(R1, R2, rtol=1e-4, atol=1e-5)
+    Rn1 = k_flat(X, Y, nodal=True)
+    Rn2 = k_buck(X, Y, nodal=True)
+    assert np.allclose(Rn1, Rn2, rtol=1e-4, atol=1e-5)
