@@ -40,19 +40,30 @@ def main():
     # GRAPHDOT_BENCH_BACKEND=edge to time the pure-XLA solver instead
     import os
     backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'pallas')
-    kernel = MarginalizedGraphKernel(
-        TensorProduct(element=KroneckerDelta(0.2)),
-        TensorProduct(length=SquareExponential(0.3)),
-        q=0.05, backend=backend,
-    )
-    factory = GramFactory(kernel, graphs, normalize=True)
-    theta0 = jnp.asarray(factory.theta0, dtype=jnp.float32)
+    def build(be):
+        kernel = MarginalizedGraphKernel(
+            TensorProduct(element=KroneckerDelta(0.2)),
+            TensorProduct(length=SquareExponential(0.3)),
+            q=0.05, backend=be,
+        )
+        factory = GramFactory(kernel, graphs, normalize=True)
+        theta0 = jnp.asarray(factory.theta0, dtype=jnp.float32)
+        gram = jax.jit(factory.gram)
+        K = gram(theta0)        # warm up / compile
+        K.block_until_ready()
+        assert np.all(np.isfinite(np.asarray(K))), 'non-finite Gram'
+        return factory, theta0, gram
 
-    gram = jax.jit(factory.gram)
-    # warm up / compile
-    K = gram(theta0)
-    K.block_until_ready()
-    assert np.all(np.isfinite(np.asarray(K))), 'non-finite Gram entries'
+    try:
+        factory, theta0, gram = build(backend)
+    except Exception as e:                         # noqa: BLE001
+        # never let a Mosaic/toolchain hiccup sink the benchmark run
+        if backend == 'edge':
+            raise
+        print(f'# {backend} backend failed ({type(e).__name__}); '
+              'falling back to edge', file=sys.stderr)
+        backend = 'edge'
+        factory, theta0, gram = build(backend)
 
     # Headline: sustained on-device throughput. Gram builds are consumed
     # on-device by the Bayesian layer (NUTS/HMC/SMC evaluate the Gram
@@ -101,7 +112,8 @@ def main():
     print(
         f'# details: {n_pairs} pairs, {dt_loop * 1e3:.1f} ms/build '
         f'sustained ({W}-build scan), {dt_call * 1e3:.1f} ms/call '
-        f'host-dispatched, platform={jax.devices()[0].platform}, '
+        f'host-dispatched, backend={backend}, '
+        f'platform={jax.devices()[0].platform}, '
         f'device={jax.devices()[0].device_kind}',
         file=sys.stderr
     )
