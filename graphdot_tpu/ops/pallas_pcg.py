@@ -72,6 +72,16 @@ def _make_mm(mode):
     return mm
 
 
+# VMEM sizing: v5e exposes 128 MiB of VMEM but XLA's default scoped-vmem
+# limit is 16 MiB; pallas_call raises it per-kernel via
+# CompilerParams(vmem_limit_bytes=_VMEM_LIMIT). The block-pair chooser
+# fills up to _VMEM_BUDGET of estimated working set, capped at
+# _MAX_BLOCK_PAIRS pairs per program.
+_VMEM_LIMIT = 100 << 20
+_VMEM_BUDGET = 48 << 20
+_MAX_BLOCK_PAIRS = 16
+
+
 def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
                 diag_ref, precond_ref, b_ref, tol_ref, maxiter_ref,
                 x_ref, *, mode):
@@ -154,15 +164,14 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
     # pairs per program bounded by the VMEM working set: resident
     # operands + CG state + the split-operand matvec intermediates
     # (the Hadamard product and its bf16 hi/lo halves are all M1 x M2).
-    # (>16 also crashes the current remote Mosaic compiler.)
     bytes_per_pair = 4 * (
         5 * M1 * M2 + 2 * M1 * N1 + 2 * M2 * N2 + 14 * N1 * N2
         + 2 * M1 * N2 + 2 * N1 * M2
     )
-    if bytes_per_pair > (12 << 20):
+    if bytes_per_pair > (64 << 20):
         return None
-    budget = 8 << 20
-    B = int(max(1, min(16, P, budget // max(bytes_per_pair, 1))))
+    B = int(max(1, min(_MAX_BLOCK_PAIRS, P,
+                       _VMEM_BUDGET // max(bytes_per_pair, 1))))
     P_pad = -(-P // B) * B
     interpret = jax.default_backend() != 'tpu'
 
@@ -252,5 +261,7 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
                                     + 4 * N1 * N2),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol, maxiter_arr)
