@@ -82,6 +82,85 @@ _VMEM_BUDGET = 48 << 20
 _MAX_BLOCK_PAIRS = 16
 
 
+def _bytes_per_pair(M1, M2, N1, N2):
+    """Estimated VMEM working set of one pair: resident operands + CG
+    state + the split-operand matvec intermediates (the Hadamard product
+    and its bf16 hi/lo halves are all M1 x M2)."""
+    return 4 * (
+        5 * M1 * M2 + 2 * M1 * N1 + 2 * M2 * N2 + 14 * N1 * N2
+        + 2 * M1 * N2 + 2 * N1 * M2
+    )
+
+
+# ---------------------------------------------------------------------------
+# pair packing ("lane packing")
+#
+# Molecule-sized pairs have M, N ~ 16-64 -- far below the 128x128 MXU tile
+# and the 128-lane VPU registers, so each batched per-pair matmul wastes
+# most of every hardware pass. Packing k pairs *block-diagonally* into one
+# "super-pair" (operand dims k*M x k*N) fills the tiles: the union system
+# is still symmetric positive definite and block-diagonal, so one CG on it
+# solves all k member systems exactly (the iterates never leave the
+# diagonal-block support because T, the incidence one-hots, diag, precond
+# and b are all block-structured). CG step sizes become shared across the
+# k members, which only changes the *path*, not the fixed point; using the
+# min of the member tolerances keeps the per-pair accuracy contract
+# (sqrt(sum_p r_p^2) < min_p tol_p implies |r_p| < tol_p for every p).
+# ---------------------------------------------------------------------------
+
+
+def _c128(d):
+    return -(-d // 128)
+
+
+def _pack_cost(k, M1, M2, N1, N2):
+    """Relative per-pair cost model: MXU 128^3 passes of the 4 matvec
+    contractions (one pass ~ 128 cycles) + VPU 8x128 chunks of the
+    elementwise work (~4 M-space ops for the Hadamard product and operand
+    splits, ~12 N-space ops for the CG vector updates and dots)."""
+    mxu = (_c128(k * M1) * _c128(k * N1) * _c128(k * N2)
+           + _c128(k * M1) * _c128(k * N2) * _c128(k * M2)
+           + _c128(k * N1) * _c128(k * M1) * _c128(k * M2)
+           + _c128(k * N1) * _c128(k * M2) * _c128(k * N2))
+    vpu = (4 * (-(-k * M1 // 8)) * _c128(k * M2)
+           + 12 * (-(-k * N1 // 8)) * _c128(k * N2))
+    return (2 * 128 * mxu + vpu) / k
+
+
+def _best_pack(P, M1, M2, N1, N2):
+    best_k, best_cost = 1, _pack_cost(1, M1, M2, N1, N2)
+    for k in range(2, 9):
+        if k > P:
+            break
+        if k * max(M1, M2, N1, N2) > 512:
+            break
+        if _bytes_per_pair(k * M1, k * M2, k * N1, k * N2) > _VMEM_BUDGET:
+            break
+        cost = _pack_cost(k, M1, M2, N1, N2)
+        if cost < best_cost - 1e-9:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def _blockdiag(a, k):
+    """[S*k, r, c] -> [S, k*r, k*c] with consecutive groups of k members
+    placed on the block diagonal."""
+    S = a.shape[0] // k
+    r, c = a.shape[1], a.shape[2]
+    ar = a.reshape(S, k, r, c)
+    eye = jnp.eye(k, dtype=a.dtype)
+    out = jnp.einsum('skrc,kl->skrlc', ar, eye)
+    return out.reshape(S, k * r, k * c)
+
+
+def _unpack_blockdiag(x, k, N1, N2):
+    """[S, k*N1, k*N2] -> [S*k, N1, N2] diagonal blocks."""
+    S = x.shape[0]
+    x5 = x.reshape(S, k, N1, k, N2)
+    xd = jnp.stack([x5[:, i, :, i, :] for i in range(k)], axis=1)
+    return xd.reshape(S * k, N1, N2)
+
+
 def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
                 diag_ref, precond_ref, b_ref, tol_ref, maxiter_ref,
                 x_ref, *, mode):
@@ -152,43 +231,56 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
 
 
 def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
-                      maxiter, mode='split2'):
+                      maxiter, mode='split2', pack='auto'):
     """Returns a ``solve(b_flat)`` closure over the system operands, for
     use as the primal/tangent solver inside ``lax.custom_linear_solve``,
     or ``None`` when even a single pair's working set cannot fit in VMEM
     (protein-scale graphs) — the caller then falls back to the XLA PCG.
-    Handles pair-count padding and CPU interpret mode transparently."""
+    Handles pair-count padding, pair packing (``pack='auto'`` chooses the
+    MXU-cost-optimal block-diagonal packing factor; an int forces it;
+    interpret mode defaults to 1 since packing only pays on the MXU) and
+    CPU interpret mode transparently."""
     P = T.shape[0]
     M1, M2 = T.shape[-2:]
     N1, N2 = diag.shape[-2:]
-    # pairs per program bounded by the VMEM working set: resident
-    # operands + CG state + the split-operand matvec intermediates
-    # (the Hadamard product and its bf16 hi/lo halves are all M1 x M2).
-    bytes_per_pair = 4 * (
-        5 * M1 * M2 + 2 * M1 * N1 + 2 * M2 * N2 + 14 * N1 * N2
-        + 2 * M1 * N2 + 2 * N1 * M2
-    )
-    if bytes_per_pair > (64 << 20):
+    if _bytes_per_pair(M1, M2, N1, N2) > (64 << 20):
         return None
-    B = int(max(1, min(_MAX_BLOCK_PAIRS, P,
-                       _VMEM_BUDGET // max(bytes_per_pair, 1))))
-    P_pad = -(-P // B) * B
     interpret = jax.default_backend() != 'tpu'
+    if pack == 'auto':
+        k = 1 if interpret else _best_pack(P, M1, M2, N1, N2)
+    else:
+        k = max(1, int(pack))
+    bpp = _bytes_per_pair(k * M1, k * M2, k * N1, k * N2)
+    B = int(max(1, min(_MAX_BLOCK_PAIRS, -(-P // k),
+                       _VMEM_BUDGET // max(bpp, 1))))
+    P_pad = -(-P // (k * B)) * (k * B)
 
     def _pad(a):
         return jnp.pad(a, [(0, P_pad - P)] + [(0, 0)] * (a.ndim - 1))
 
-    ops = tuple(_pad(a) for a in (T, ohs1, ohd1, ohs2, ohd2,
-                                  diag, precond))
+    def _prep(a):
+        a = _pad(a)
+        return _blockdiag(a, k) if k > 1 else a
+
+    ops = tuple(_prep(a) for a in (T, ohs1, ohd1, ohs2, ohd2,
+                                   diag, precond))
     tol_p = jnp.pad(tol, (0, P_pad - P), constant_values=1.0)
+    if k > 1:
+        # min over packed members: the combined residual norm then bounds
+        # every member's residual by its own tolerance
+        tol_p = jnp.min(tol_p.reshape(P_pad // k, k), axis=1)
+    # the union system has k x the dof; scale the iteration bound
+    maxiter_k = min(maxiter * k, 16384)
 
     def solve(b_flat):
-        b = _pad(b_flat.reshape(P, N1, N2))
+        b = _prep(b_flat.reshape(P, N1, N2))
         x = pallas_pcg(
             *ops[:5], ops[5], ops[6], b, tol_p,
-            block_pairs=B, maxiter=maxiter, interpret=interpret,
+            block_pairs=B, maxiter=maxiter_k, interpret=interpret,
             mode=mode
         )
+        if k > 1:
+            x = _unpack_blockdiag(x, k, N1, N2)
         return x[:P].reshape(P, N1 * N2)
 
     return solve

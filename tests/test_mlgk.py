@@ -458,9 +458,10 @@ def test_pallas_backend_matches_edge():
 
 
 def test_pallas_solver_vmem_fallback():
-    """Protein-scale working sets (> ~12MB/pair) must make
+    """Working sets beyond the raised 64MB/pair ceiling must make
     ``pallas_pcg_solver`` return None so the solver falls back to the
-    XLA PCG instead of exceeding VMEM."""
+    XLA PCG instead of exceeding VMEM; molecule- and small-protein-scale
+    pairs stay on the fused kernel."""
     import jax.numpy as jnp
     from graphdot_tpu.ops.pallas_pcg import pallas_pcg_solver
 
@@ -471,8 +472,50 @@ def test_pallas_solver_vmem_fallback():
         return pallas_pcg_solver(
             T, oh, oh, oh, oh, d, d, jnp.ones(P), maxiter=8)
 
-    assert mk(4, 848, 152) is None          # 150-residue proteins
+    assert mk(4, 1696, 304) is None         # 300-residue proteins
+    assert mk(4, 848, 152) is not None      # 150-residue proteins fit
     assert mk(4, 64, 24) is not None        # molecules fit fine
+
+
+def test_pallas_pair_packing():
+    """Block-diagonal pair packing (k same-size pairs fused into one MXU
+    'super-pair') returns the same solutions as the unpacked kernel,
+    including pair-count padding (P not a multiple of k)."""
+    import jax.numpy as jnp
+    from graphdot_tpu.ops.pallas_pcg import (
+        pallas_pcg_solver, _best_pack
+    )
+
+    rng = np.random.default_rng(3)
+    P, M1, M2, N1, N2 = 7, 6, 5, 4, 3
+    T = jnp.asarray(rng.uniform(0.1, 0.5, (P, M1, M2)), jnp.float32)
+    ohs1 = jnp.asarray(np.eye(N1, dtype=np.float32)[
+        rng.integers(0, N1, (P, M1))])
+    ohd1 = jnp.asarray(np.eye(N1, dtype=np.float32)[
+        rng.integers(0, N1, (P, M1))])
+    ohs2 = jnp.asarray(np.eye(N2, dtype=np.float32)[
+        rng.integers(0, N2, (P, M2))])
+    ohd2 = jnp.asarray(np.eye(N2, dtype=np.float32)[
+        rng.integers(0, N2, (P, M2))])
+    # strongly diagonally dominant -> SPD regardless of the couplings
+    diag = jnp.asarray(
+        rng.uniform(20.0, 30.0, (P, N1, N2)), jnp.float32)
+    precond = 1.0 / diag
+    tol = jnp.full((P,), 1e-7, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(P, N1 * N2)), jnp.float32)
+
+    sv1 = pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond,
+                            tol, maxiter=256, pack=1)
+    sv3 = pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond,
+                            tol, maxiter=256, pack=3)
+    x1 = np.asarray(sv1(b))
+    x3 = np.asarray(sv3(b))
+    assert np.allclose(x1, x3, rtol=1e-5, atol=1e-7)
+
+    # the cost model packs small pairs and leaves huge pairs alone
+    assert _best_pack(100, 48, 48, 24, 24) > 1
+    assert _best_pack(100, 848, 848, 152, 152) == 1
+    assert _best_pack(1, 48, 48, 24, 24) == 1
 
 
 def test_bucketed_cross_similarity():
