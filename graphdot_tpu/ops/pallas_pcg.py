@@ -247,6 +247,10 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
         return None
     interpret = jax.default_backend() != 'tpu'
     if pack == 'auto':
+        # experiment hook: GRAPHDOT_PALLAS_PACK=<int> forces the factor
+        import os
+        pack = os.environ.get('GRAPHDOT_PALLAS_PACK', 'auto')
+    if pack == 'auto':
         k = 1 if interpret else _best_pack(P, M1, M2, N1, N2)
     else:
         k = max(1, int(pack))
