@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ...graph import Graph
 from ...graph.batch import batch_graphs
 from ...util import Timer
-from ...util.iterable import fold_like, flatten, replace
+from ...util.iterable import fold_like, flatten
 from ...util.pretty_tuple import pretty_tuple
 from ._backend import backend_factory
 from ._solver import mlgk_solve, weight_by_p
@@ -82,7 +82,9 @@ class MarginalizedGraphKernel:
     eps, ftol, gtol: floats
         eps is retained for API parity (the reference's finite-difference
         step size; unused — gradients are exact here). ftol is the CG
-        convergence tolerance (stop at sqrt(rTr) < ftol * N).
+        convergence tolerance of the kernel-value solve (stop at
+        sqrt(rTr) < ftol * N); gtol is the (usually looser) tolerance of
+        the gradient solves, as in the reference backend.
     dtype: numpy dtype of returned matrices.
     backend: 'auto', 'edge', 'dense', or a Backend instance.
     """
@@ -239,14 +241,17 @@ class MarginalizedGraphKernel:
             # value + jacobian in one pass; forward-mode costs one extra
             # implicit solve per hyperparameter — the exact analogue of the
             # reference's simultaneous dual-RHS solve, but for every theta.
-            def fn(theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
-                   p_fixed2, lmin):
+            # The jacobian's solves (linearization point + tangents) run at
+            # the gtol tolerance, like the reference's separate gradient CG
+            # tolerance (gtol vs ftol in its CUDA backend).
+            def fn(theta, batch1, batch2, idx1, idx2, ftol, gtol,
+                   p_fixed1, p_fixed2, lmin):
                 value = core(
                     theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
                     p_fixed2, lmin
                 )
                 jacobian = jax.jacfwd(core)(
-                    theta, batch1, batch2, idx1, idx2, ftol, p_fixed1,
+                    theta, batch1, batch2, idx1, idx2, gtol, p_fixed1,
                     p_fixed2, lmin
                 )
                 return value, jacobian
@@ -320,6 +325,7 @@ class MarginalizedGraphKernel:
         """Run the jitted solve over fixed-size job chunks; returns
         concatenated numpy outputs (and gradients)."""
         ftol = np.float32(self.ftol)
+        gtol = np.float32(self.gtol)
         P = len(i_jobs)
         outs, grads = [], []
         for s in range(0, P, chunk):
@@ -329,8 +335,13 @@ class MarginalizedGraphKernel:
             if pad > 0:
                 idx1 = np.pad(idx1, (0, pad))
                 idx2 = np.pad(idx2, (0, pad))
-            res = fn(theta, bd1, bd2, jnp.asarray(idx1),
-                     jnp.asarray(idx2), ftol, pf1, pf2, lmin=lmin)
+            if eval_gradient:
+                res = fn(theta, bd1, bd2, jnp.asarray(idx1),
+                         jnp.asarray(idx2), ftol, gtol, pf1, pf2,
+                         lmin=lmin)
+            else:
+                res = fn(theta, bd1, bd2, jnp.asarray(idx1),
+                         jnp.asarray(idx2), ftol, pf1, pf2, lmin=lmin)
             if eval_gradient:
                 val, jacs = res
                 val = np.asarray(val)
@@ -682,24 +693,39 @@ class MarginalizedGraphKernel:
         """Number of hyperparameters, optimizable and fixed alike."""
         return len(self.flat_hyperparameters)
 
+    def _bounds_table(self):
+        """[n_dims, 2] linear-scale bounds table, one row per
+        hyperparameter in theta order; ``'fixed'`` entries become NaN
+        rows.
+
+        ``flatten`` splits each (lo, hi) pair into two consecutive
+        scalars but yields the 'fixed' sentinel (a string) and any
+        2-array bound whole, so the walk consumes one or two stream items
+        per hyperparameter accordingly.
+        """
+        rows = []
+        stream = flatten(self.hyperparameter_bounds)
+        for item in stream:
+            if isinstance(item, str):
+                if item != 'fixed':
+                    raise ValueError(f'Unknown bound spec {item!r}')
+                rows.append((np.nan, np.nan))
+            elif hasattr(item, '__len__'):
+                lo, hi = item
+                rows.append((float(lo), float(hi)))
+            else:
+                rows.append((float(item), float(next(stream))))
+        return np.asarray(rows, dtype=float).reshape(-1, 2)
+
     @property
     def active_theta_mask(self):
-        lower, upper = np.reshape(
-            np.fromiter(
-                flatten(
-                    replace(
-                        flatten(self.hyperparameter_bounds),
-                        'fixed',
-                        (np.nan, np.nan)
-                    )
-                ),
-                dtype=float
-            ),
-            (2, -1),
-            order='F'
-        )
-        inactive = np.isnan(lower) | np.isnan(upper) | (lower == upper)
-        return ~inactive
+        """Boolean mask over the full hyperparameter vector: True for
+        entries that participate in optimization, False for 'fixed' ones
+        and degenerate lo == hi bounds."""
+        table = self._bounds_table()
+        fixed = np.isnan(table).any(axis=1)
+        degenerate = table[:, 0] == table[:, 1]
+        return ~(fixed | degenerate)
 
     @property
     def theta(self):
@@ -708,29 +734,18 @@ class MarginalizedGraphKernel:
 
     @theta.setter
     def theta(self, value):
-        hypers = np.log(self.flat_hyperparameters)
-        hypers[self.active_theta_mask] = value
+        full = self.flat_hyperparameters
+        full[self.active_theta_mask] = np.exp(value)
         (self.p.theta,
          self.q,
          self.node_kernel.theta,
          self.edge_kernel.theta
-         ) = fold_like(np.exp(hypers), self.hyperparameters)
+         ) = fold_like(full, self.hyperparameters)
 
     @property
     def bounds(self):
         """Log-scale n-by-2 array of active hyperparameter bounds."""
-        return np.log(
-            np.fromiter(
-                flatten(
-                    replace(
-                        flatten(self.hyperparameter_bounds),
-                        'fixed',
-                        (np.nan, np.nan)
-                    )
-                ),
-                float
-            ).reshape(-1, 2, order='C')[self.active_theta_mask, :]
-        )
+        return np.log(self._bounds_table()[self.active_theta_mask])
 
     def clone_with_theta(self, theta=None):
         clone = copy.deepcopy(self)
