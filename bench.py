@@ -36,10 +36,12 @@ def main():
     graphs = random_molecule_set(42, n_graphs, n_atoms_range=(9, 24))
     n_pairs = n_graphs * (n_graphs + 1) // 2
 
-    # the fused Pallas PCG backend is the production TPU path; set
-    # GRAPHDOT_BENCH_BACKEND=edge to time the pure-XLA solver instead
+    # 'auto' resolves to the fused Pallas PCG backend on TPU (the
+    # production path); set GRAPHDOT_BENCH_BACKEND=edge to time the
+    # pure-XLA solver instead
     import os
-    backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'pallas')
+    backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'auto')
+
     def build(be):
         kernel = MarginalizedGraphKernel(
             TensorProduct(element=KroneckerDelta(0.2)),
@@ -52,10 +54,10 @@ def main():
         K = gram(theta0)        # warm up / compile
         K.block_until_ready()
         assert np.all(np.isfinite(np.asarray(K))), 'non-finite Gram'
-        return factory, theta0, gram
+        return factory, theta0, gram, np.asarray(K)
 
     try:
-        factory, theta0, gram = build(backend)
+        factory, theta0, gram, K0 = build(backend)
     except Exception as e:                         # noqa: BLE001
         # never let a Mosaic/toolchain hiccup sink the benchmark run
         if backend == 'edge':
@@ -63,7 +65,18 @@ def main():
         print(f'# {backend} backend failed ({type(e).__name__}); '
               'falling back to edge', file=sys.stderr)
         backend = 'edge'
-        factory, theta0, gram = build(backend)
+        factory, theta0, gram, K0 = build(backend)
+    backend = factory.kernel.backend.mode
+
+    # on-device numerics gate: the fused kernel must agree with the
+    # pure-XLA edge path on the real chip (interpret-mode tests cannot
+    # catch a hardware-only drift in the split-operand scheme)
+    numerics_note = ''
+    if backend == 'pallas':
+        _, _, _, K_edge = build('edge')
+        drift = float(np.max(np.abs(K0 - K_edge)))
+        assert drift <= 1e-4, f'pallas-vs-edge drift {drift:.3g} > 1e-4'
+        numerics_note = f', pallas-vs-edge drift={drift:.2g}'
 
     # Headline: sustained on-device throughput. Gram builds are consumed
     # on-device by the Bayesian layer (NUTS/HMC/SMC evaluate the Gram
@@ -114,7 +127,8 @@ def main():
         f'sustained ({W}-build scan), {dt_call * 1e3:.1f} ms/call '
         f'host-dispatched, backend={backend}, '
         f'platform={jax.devices()[0].platform}, '
-        f'device={jax.devices()[0].device_kind}',
+        f'device={jax.devices()[0].device_kind}'
+        f'{numerics_note}',
         file=sys.stderr
     )
 

@@ -371,6 +371,28 @@ class MarginalizedGraphKernel:
 
     def _solve_jobs(self, graphs, i_jobs, j_jobs, nodal, lmin,
                     eval_gradient, timer=None):
+        """Solve all jobs, demoting an auto-selected backend once (e.g.
+        pallas -> edge on a Mosaic toolchain failure) before giving up."""
+        try:
+            return self._solve_jobs_impl(
+                graphs, i_jobs, j_jobs, nodal, lmin, eval_gradient,
+                timer=timer
+            )
+        except Exception as e:   # noqa: BLE001 — compile errors vary
+            if not self.backend.fall_back():
+                raise
+            warnings.warn(
+                f'backend {e.__class__.__name__} '
+                f'({str(e).splitlines()[0][:120]}); retrying with the '
+                f'{self.backend.mode!r} backend'
+            )
+            return self._solve_jobs_impl(
+                graphs, i_jobs, j_jobs, nodal, lmin, eval_gradient,
+                timer=timer
+            )
+
+    def _solve_jobs_impl(self, graphs, i_jobs, j_jobs, nodal, lmin,
+                         eval_gradient, timer=None):
         """Solve all (i, j) jobs; returns [P(,n1,n2)] numpy arrays (+ the
         full-dimensional gradient when requested). With ``buckets`` on and
         heterogeneous sizes, jobs are grouped into per-size-class batches
