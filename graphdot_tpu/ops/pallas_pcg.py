@@ -76,10 +76,12 @@ def _make_mm(mode):
 # limit is 16 MiB; pallas_call raises it per-kernel via
 # CompilerParams(vmem_limit_bytes=_VMEM_LIMIT). The block-pair chooser
 # fills up to _VMEM_BUDGET of estimated working set, capped at
-# _MAX_BLOCK_PAIRS pairs per program.
+# _MAX_BLOCK_PAIRS pairs per program. Pairs whose working set exceeds
+# _RESIDENT_PAIR_LIMIT switch to the streaming kernel (T in HBM).
 _VMEM_LIMIT = 100 << 20
 _VMEM_BUDGET = 48 << 20
 _MAX_BLOCK_PAIRS = 16
+_RESIDENT_PAIR_LIMIT = 48 << 20
 
 
 def _bytes_per_pair(M1, M2, N1, N2):
@@ -234,18 +236,26 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
                       maxiter, mode='split2', pack='auto'):
     """Returns a ``solve(b_flat)`` closure over the system operands, for
     use as the primal/tangent solver inside ``lax.custom_linear_solve``,
-    or ``None`` when even a single pair's working set cannot fit in VMEM
-    (protein-scale graphs) — the caller then falls back to the XLA PCG.
-    Handles pair-count padding, pair packing (``pack='auto'`` chooses the
-    MXU-cost-optimal block-diagonal packing factor; an int forces it;
-    interpret mode defaults to 1 since packing only pays on the MXU) and
-    CPU interpret mode transparently."""
+    or ``None`` when the pair working set exceeds even the streaming
+    kernel's VMEM-resident part — the caller then falls back to the XLA
+    PCG. Molecule-scale pairs run the fully VMEM-resident kernel (with
+    pair-count padding and block-diagonal pair packing: ``pack='auto'``
+    chooses the MXU-cost-optimal factor, an int forces it, interpret mode
+    defaults to 1 since packing only pays on the MXU); protein-scale
+    pairs (working set > ~48 MB) run the product-dimension-blocked
+    streaming kernel instead (see :func:`pallas_pcg_stream`)."""
+    import os
     P = T.shape[0]
     M1, M2 = T.shape[-2:]
     N1, N2 = diag.shape[-2:]
-    if _bytes_per_pair(M1, M2, N1, N2) > (64 << 20):
-        return None
     interpret = jax.default_backend() != 'tpu'
+    force_stream = bool(os.environ.get('GRAPHDOT_PALLAS_STREAM'))
+    if (force_stream
+            or _bytes_per_pair(M1, M2, N1, N2) > _RESIDENT_PAIR_LIMIT):
+        return _stream_solver(
+            T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol, maxiter,
+            mode=mode, interpret=interpret
+        )
     if pack == 'auto':
         # experiment hook: GRAPHDOT_PALLAS_PACK=<int> forces the factor
         import os
@@ -361,3 +371,271 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol, maxiter_arr)
+
+
+# ---------------------------------------------------------------------------
+# protein-scale streaming kernel
+#
+# For large product spaces (n1*n2 ~ 1e4-1e6; the reference's protein
+# workload, example/perfbench/protein-time-to-solution.py) a single pair's
+# operands no longer fit in VMEM — dominated by the M1 x M2 edge-coupling
+# matrix T (e.g. 2560^2 f32 = 26 MB). The streaming kernel blocks the
+# product dimension the way the reference streams octiles through shared
+# memory under a budget (marginalized_kernel.h:157-161): one pair per
+# (sequential) grid program, CG state + incidence one-hots resident in
+# VMEM, and T double-buffer-DMA'd from HBM in TM-row tiles inside the
+# matvec. HBM traffic is T once per CG iteration (unavoidable: T cannot
+# be resident) while every intermediate stays on-chip; converged pairs
+# exit their while-loop early, so the grid never rides along with the
+# slowest pair the way a batched XLA solve does.
+# ---------------------------------------------------------------------------
+
+
+def _mm2(a, b, ca, cb, general, mode):
+    """2-D matmul contracting axis ca of a with cb of b, with the same
+    precision modes as the batched ``_make_mm`` (the ``general`` operand
+    is the non-one-hot side that needs the bf16 hi/lo split)."""
+    def dot(x, y, prec):
+        return lax.dot_general(
+            x, y, (((ca,), (cb,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec
+        )
+    if mode == 'split2':
+        if general == 0:
+            hi, lo = _split(a)
+            return (dot(hi, b, lax.Precision.DEFAULT)
+                    + dot(lo, b, lax.Precision.DEFAULT))
+        hi, lo = _split(b)
+        return (dot(a, hi, lax.Precision.DEFAULT)
+                + dot(a, lo, lax.Precision.DEFAULT))
+    prec = {
+        'default': lax.Precision.DEFAULT,
+        'highest': lax.Precision.HIGHEST,
+    }[mode]
+    return dot(a, b, prec)
+
+
+def _pcg_stream_kernel(T_hbm, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
+                       diag_ref, precond_ref, b_ref, tol_ref,
+                       maxiter_ref, x_ref, Tbuf, sem, *, mode, tile_m):
+    i = pl.program_id(0)
+    M1 = ohs1_ref.shape[1]
+    M2 = ohs2_ref.shape[1]
+    n_tiles = M1 // tile_m
+
+    ohs2 = ohs2_ref[0]
+    ohd2 = ohd2_ref[0]
+    diag = diag_ref[0]
+    precond = precond_ref[0]
+    b = b_ref[0]
+    tol = tol_ref[i, 0]
+    maxiter = maxiter_ref[0]
+
+    def tile_dma(slot, t):
+        # T is passed flattened to [P*M1, M2]: Mosaic miscompiles HBM
+        # memref slices with two dynamic offsets (pair + row tile), but a
+        # single dynamic row offset into a 2-D memref is solid
+        return pltpu.make_async_copy(
+            T_hbm.at[pl.ds(i * M1 + t * tile_m, tile_m), :],
+            Tbuf.at[slot],
+            sem.at[slot],
+        )
+
+    def matvec(y):
+        tile_dma(0, 0).start()
+
+        def body(t, U):
+            slot = t % 2
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                tile_dma((t + 1) % 2, t + 1).start()
+
+            tile_dma(slot, t).wait()
+            d1_t = ohd1_ref[0, pl.ds(t * tile_m, tile_m), :]
+            s1_t = ohs1_ref[0, pl.ds(t * tile_m, tile_m), :]
+            G = _mm2(d1_t, y, 1, 0, general=1, mode=mode)   # [TM, N2]
+            H = _mm2(G, ohd2, 1, 1, general=0, mode=mode)   # [TM, M2]
+            Z = Tbuf[slot] * H
+            return U + _mm2(s1_t, Z, 0, 0, general=1, mode=mode)
+
+        N1 = diag.shape[0]
+        U = lax.fori_loop(
+            0, n_tiles, body,
+            jnp.zeros((N1, M2), dtype=jnp.float32)
+        )
+        out = _mm2(U, ohs2, 1, 0, general=0, mode=mode)     # [N1, N2]
+        return diag * y - out
+
+    # scalar-carried Jacobi-PCG; float flags (bool while-carries are
+    # fragile under Mosaic legalization)
+    z0 = precond * b
+    rr0 = jnp.sum(b * b)
+    done0 = (jnp.sqrt(rr0) < tol).astype(jnp.float32)
+    state0 = (
+        jnp.zeros_like(b),           # x
+        b,                           # r
+        z0,                          # p
+        jnp.sum(b * z0),             # rz
+        done0,
+        jnp.int32(0),
+    )
+
+    def cond(state):
+        _, _, _, _, done, it = state
+        return (it < maxiter) & (done < 0.5)
+
+    def body(state):
+        x, r, p, rz, done, it = state
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        bad = ((pAp == 0.0) | (rz == 0.0)).astype(jnp.float32)
+        live = (1.0 - done) * (1.0 - bad)
+        alpha = live * rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond * r
+        rz_new = jnp.sum(r * z)
+        rr = jnp.sum(r * r)
+        conv = (jnp.sqrt(rr) < tol).astype(jnp.float32)
+        done_new = jnp.maximum(done, jnp.maximum(bad, conv))
+        beta = (1.0 - done_new) * rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        rz = done_new * rz + (1.0 - done_new) * rz_new
+        return (x, r, p, rz, done_new, it + 1)
+
+    x, _, _, _, _, _ = lax.while_loop(cond, body, state0)
+    x_ref[0] = x
+
+
+# the streaming kernel is sized against (nearly) the full 100 MB scoped
+# VMEM: unlike the resident kernel it runs one big pair per program, so
+# there is no block_pairs knob to absorb estimate error — leave ~12%.
+_STREAM_BUDGET = 88 << 20
+
+
+def _stream_bytes(M1, M2, N1, N2, tile_m):
+    """VMEM working set of the streaming kernel. Pallas double-buffers
+    every VMEM-blocked input/output across grid programs, hence the x2 on
+    the per-pair blocks; CG state lives in while-loop carries and the U
+    accumulator + split halves are matvec temporaries."""
+    blocks = 2 * (2 * M1 * N1 + 2 * M2 * N2 + 4 * N1 * N2)
+    state = 8 * N1 * N2
+    accum = 3 * N1 * M2                 # U + bf16 hi/lo halves
+    tiles = (2 + 3) * tile_m * M2 + 3 * tile_m * N2
+    return 4 * (blocks + state + accum + tiles)
+
+
+def _pick_tile_m(M1, M2, N1, N2):
+    """Largest power-of-two row tile (>= 8) that keeps the streaming
+    working set within budget; None if even the smallest tile busts it."""
+    tile_m = 1 << max(3, min(9, (M1 - 1).bit_length() - 1))
+    while tile_m > 8 and _stream_bytes(
+            M1, M2, N1, N2, tile_m) > _STREAM_BUDGET:
+        tile_m //= 2
+    if _stream_bytes(M1, M2, N1, N2, tile_m) > _STREAM_BUDGET:
+        return None
+    return tile_m
+
+
+def _stream_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
+                   maxiter, mode, interpret):
+    P, M1, M2 = T.shape
+    N1, N2 = diag.shape[-2:]
+    # M2 is the lane dimension of the HBM-resident T: Mosaic requires
+    # 128-lane alignment to slice it with a dynamic row offset. Padding
+    # adds zero one-hot rows on side 2, which contribute nothing.
+    M2p = -(-M2 // 128) * 128
+    tile_m = _pick_tile_m(M1, M2p, N1, N2)
+    if tile_m is None:
+        return None
+    M1p = -(-M1 // tile_m) * tile_m
+
+    def _pad(a, rows, cols):
+        return jnp.pad(a, ((0, 0), (0, rows), (0, cols)))
+
+    Tp = _pad(T, M1p - M1, M2p - M2)
+    ohs1p = _pad(ohs1, M1p - M1, 0)
+    ohd1p = _pad(ohd1, M1p - M1, 0)
+    ohs2p = _pad(ohs2, M2p - M2, 0)
+    ohd2p = _pad(ohd2, M2p - M2, 0)
+
+    def solve(b_flat):
+        b = b_flat.reshape(P, N1, N2)
+        x = pallas_pcg_stream(
+            Tp, ohs1p, ohd1p, ohs2p, ohd2p, diag, precond, b, tol,
+            maxiter=maxiter, tile_m=tile_m, interpret=interpret,
+            mode=mode
+        )
+        return x.reshape(P, N1 * N2)
+
+    return solve
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('maxiter', 'tile_m', 'interpret', 'mode')
+)
+def pallas_pcg_stream(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
+                      maxiter=1024, tile_m=512, interpret=False,
+                      mode='split2'):
+    """Solve protein-scale product-graph systems with the streaming
+    fused kernel: one pair per grid program, T streamed from HBM in
+    ``tile_m``-row tiles.
+
+    Parameters as :func:`pallas_pcg`, except ``T``/``ohs1``/``ohd1``
+    must have M1 divisible by ``tile_m`` (zero-pad rows; zero one-hot
+    rows contribute nothing).
+    """
+    P, M1, M2 = T.shape
+    N1, N2 = diag.shape[-2:]
+    assert M1 % tile_m == 0, f'M1={M1} not a multiple of tile_m={tile_m}'
+    # 2-D layout for the HBM-resident T (see tile_dma in the kernel)
+    T = T.reshape(P * M1, M2)
+
+    def vspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, *shape), lambda i: (i, *([0] * nd)),
+            memory_space=pltpu.VMEM
+        )
+
+    maxiter_arr = jnp.full((1,), maxiter, dtype=jnp.int32)
+    tol2d = tol[:, None].astype(jnp.float32)
+
+    passes = {'split2': 2, 'default': 1, 'highest': 6}[mode]
+    flops_matvec = 2 * (M1 * N1 * N2 + M1 * M2 * N2 + N1 * M1 * M2
+                        + N1 * M2 * N2) * passes
+
+    return pl.pallas_call(
+        functools.partial(
+            _pcg_stream_kernel, mode=mode, tile_m=tile_m),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # T stays in HBM
+            vspec(M1, N1),           # ohs1
+            vspec(M1, N1),           # ohd1
+            vspec(M2, N2),           # ohs2
+            vspec(M2, N2),           # ohd2
+            vspec(N1, N2),           # diag
+            vspec(N1, N2),           # precond
+            vspec(N1, N2),           # b
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tol [P, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # maxiter
+        ],
+        out_specs=vspec(N1, N2),
+        out_shape=jax.ShapeDtypeStruct((P, N1, N2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_m, M2), jnp.float32),   # T double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_matvec * 32,
+            bytes_accessed=4 * (32 * M1 * M2 + 2 * M1 * N1
+                                + 2 * M2 * N2 + 4 * N1 * N2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol2d, maxiter_arr)

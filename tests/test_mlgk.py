@@ -458,12 +458,13 @@ def test_pallas_backend_matches_edge():
 
 
 def test_pallas_solver_vmem_fallback():
-    """Working sets beyond the raised 64MB/pair ceiling must make
-    ``pallas_pcg_solver`` return None so the solver falls back to the
-    XLA PCG instead of exceeding VMEM; molecule- and small-protein-scale
-    pairs stay on the fused kernel."""
+    """Pairs beyond the resident-kernel VMEM ceiling route to the
+    streaming kernel (T in HBM); only working sets whose VMEM-resident
+    part exceeds even the streaming budget return None (XLA fallback)."""
     import jax.numpy as jnp
-    from graphdot_tpu.ops.pallas_pcg import pallas_pcg_solver
+    from graphdot_tpu.ops.pallas_pcg import (
+        pallas_pcg_solver, _bytes_per_pair, _RESIDENT_PAIR_LIMIT
+    )
 
     def mk(P, M, N):
         T = jnp.zeros((P, M, M))
@@ -472,9 +473,30 @@ def test_pallas_solver_vmem_fallback():
         return pallas_pcg_solver(
             T, oh, oh, oh, oh, d, d, jnp.ones(P), maxiter=8)
 
-    assert mk(4, 1696, 304) is None         # 300-residue proteins
-    assert mk(4, 848, 152) is not None      # 150-residue proteins fit
+    # 300-residue proteins exceed the resident budget but stream fine
+    assert _bytes_per_pair(1696, 1696, 304, 304) > _RESIDENT_PAIR_LIMIT
+    assert mk(4, 1696, 304) is not None
     assert mk(4, 64, 24) is not None        # molecules fit fine
+    # even the streaming kernel's resident part has a ceiling
+    assert mk(1, 16384, 2048) is None
+
+
+def test_pallas_streaming_matches_edge(monkeypatch):
+    """The product-dimension-blocked streaming kernel (forced via
+    GRAPHDOT_PALLAS_STREAM, interpret mode on CPU) agrees with the XLA
+    edge backend end-to-end, including gradients and unaligned edge
+    counts (M2 not a multiple of 128)."""
+    monkeypatch.setenv('GRAPHDOT_PALLAS_STREAM', '1')
+    from graphdot_tpu.testing import random_molecule_set
+    mols = random_molecule_set(5, 5, n_atoms_range=(8, 14))
+    knode = TensorProduct(element=KroneckerDelta(0.2))
+    kedge = TensorProduct(length=SquareExponential(0.3))
+    ke = MarginalizedGraphKernel(knode, kedge, q=0.05, backend='edge')
+    kp = MarginalizedGraphKernel(knode, kedge, q=0.05, backend='pallas')
+    Re, dRe = ke(mols, eval_gradient=True)
+    Rp, dRp = kp(mols, eval_gradient=True)
+    assert np.allclose(Re, Rp, rtol=1e-5, atol=1e-7)
+    assert np.allclose(dRe, dRp, rtol=1e-3, atol=1e-5)
 
 
 def test_pallas_pair_packing():
