@@ -51,12 +51,18 @@ class GPRLogProb:
         that keeps the posterior proper).
     prior_scale: float
         Std of the default Gaussian prior on the log hyperparameters.
+    maxiter: int
+        Per-leapfrog CG iteration cap (see ``GramFactory``): bounds the
+        cost of log-density evaluations at extreme-tail hyperparameters,
+        where an exact solve is pointless (the sampler rejects them) but
+        would otherwise run its full n1*n2-iteration budget.
     """
 
     def __init__(self, kernel, X, y, alpha=1e-6, normalize=True,
                  normalize_y=True, prior=None, prior_scale=10.0,
-                 lmin=0):
-        self.factory = GramFactory(kernel, X, normalize=normalize)
+                 lmin=0, maxiter=64):
+        self.factory = GramFactory(kernel, X, normalize=normalize,
+                                   maxiter=maxiter)
         y = np.asarray(y, dtype=np.float64)
         if normalize_y:
             self.ymean, self.ystd = y.mean(), max(y.std(), 1e-300)

@@ -50,10 +50,21 @@ class GramFactory:
         one padded-size class.
     node_align: int
         Padded node counts are rounded up to multiples of this.
+    maxiter: int or None
+        Cap on CG iterations per solve. The default (None) bounds each
+        solve by its product-space dimension, like the reference solver.
+        Inference loops (NUTS/HMC leapfrogs) should set a finite cap:
+        within the posterior's typical set Jacobi-PCG converges in ~7-16
+        iterations, while extreme-tail hyperparameters (q -> 0, kernel
+        -> 1) make the system so ill-conditioned that CG burns the full
+        n1*n2 iterations computing a log-density that is astronomically
+        low anyway — a capped solve is 5-10x cheaper there and the
+        sampler rejects/diverges on such points regardless.
     """
 
     def __init__(self, kernel, graphs, normalize=True, buckets='auto',
-                 node_align=8):
+                 node_align=8, maxiter=None):
+        self._maxiter_cap = int(maxiter) if maxiter else 10000
         # unwrap a Normalization fix if present
         if hasattr(kernel, 'kernel') and not hasattr(kernel, 'node_kernel'):
             kernel = kernel.kernel
@@ -279,12 +290,20 @@ class GramFactory:
         return jnp.sum(weight_by_p(x, p1, p2), axis=(1, 2))
 
     def _group_ops_solve(self, batch1, batch2, pfix1, pfix2, lmin,
-                         maxiter, theta, idx1, idx2):
+                         maxiter, theta, idx1, idx2, *onehots):
         """Solve one job group given raw local index arrays. Used by the
         sharded path (``parallel.gram.sharded_gram_fn``), where ``idx1``/
-        ``idx2`` are the local shard of the job list and the incidence
-        one-hots are built in-trace from it."""
-        ops = self._group_ops(batch1, batch2, idx1, idx2, {})
+        ``idx2`` are the local shard of the job list. When the factory
+        precomputed per-job incidence one-hots, their local shards are
+        passed positionally (src1, dst1, src2, dst2); otherwise they are
+        rebuilt in-trace from the index shard."""
+        oh = {}
+        if onehots:
+            oh = dict(zip(
+                ('oh_src_1', 'oh_dst_1', 'oh_src_2', 'oh_dst_2'),
+                onehots
+            ))
+        ops = self._group_ops(batch1, batch2, idx1, idx2, oh)
         return self._group_r(
             theta, ops, pfix1, pfix2, idx1, idx2, lmin, maxiter)
 
@@ -298,7 +317,7 @@ class GramFactory:
             ops = self._group_ops(
                 self._batch, self._batch, self._iu, self._ju,
                 self._onehots)
-            maxiter = min(self._n_pad * self._n_pad, 10000)
+            maxiter = min(self._n_pad * self._n_pad, self._maxiter_cap)
             r = self._group_r(
                 theta, ops, self._p_fixed, self._p_fixed,
                 self._iu, self._ju, lmin, maxiter)
@@ -309,7 +328,7 @@ class GramFactory:
                 ops = self._group_ops(
                     grp['batch1'], grp['batch2'],
                     grp['idx1'], grp['idx2'], grp['onehots'])
-                maxiter = min(grp['ca'] * grp['cb'], 10000)
+                maxiter = min(grp['ca'] * grp['cb'], self._maxiter_cap)
                 r = self._group_r(
                     theta, ops, grp['pfix1'], grp['pfix2'],
                     grp['idx1'], grp['idx2'], lmin, maxiter)

@@ -56,8 +56,13 @@ def _is_turning(rsum, p_start, p_end, inv_mass):
     return (jnp.dot(v, p_start) <= 0) | (jnp.dot(v, p_end) <= 0)
 
 
-def nuts_step(rng, state, logp_fn, step_size, inv_mass, max_depth=8):
-    """One NUTS transition.
+def _nuts_step_nested(rng, state, logp_fn, step_size, inv_mass,
+                      max_depth=8):
+    """One NUTS transition (nested-loop reference implementation).
+
+    Kept as the readable specification and as the oracle for the flat
+    single-loop implementation below (same RNG fold scheme, so the two
+    produce identical transitions); `nuts_step` is the production entry.
 
     Parameters
     ----------
@@ -241,6 +246,186 @@ def nuts_step(rng, state, logp_fn, step_size, inv_mass, max_depth=8):
             n_leapfrog=c['n_leapfrog'] + sub['leaf'],
             stop=stop,
             divergent=c['divergent'] | sub['divergent'],
+        )
+
+    out = lax.while_loop(cond, body, init)
+    prop = out['prop']
+    new_state = HMCState(q=prop.q, logp=prop.logp, grad=prop.grad)
+    info = {
+        'accept_prob': out['sum_acc'] / jnp.maximum(
+            out['n_leapfrog'].astype(jnp.float32), 1.0
+        ),
+        'divergent': out['divergent'],
+        'depth': out['depth'],
+        'n_leapfrog': out['n_leapfrog'],
+        'energy': -prop.logp,
+    }
+    return new_state, info
+
+
+def nuts_step(rng, state, logp_fn, step_size, inv_mass, max_depth=8):
+    """One NUTS transition — flat single-loop implementation.
+
+    Semantically identical to :func:`_nuts_step_nested` (same tree
+    scheme, same RNG folds, hence the same transition draw-for-draw),
+    but the whole transition is ONE ``lax.while_loop`` advancing exactly
+    one leapfrog per iteration. Under ``vmap`` (multi-chain batching on
+    one chip) a batched while loop runs all chains in lockstep until the
+    slowest finishes, so per-iteration granularity matters: the nested
+    doubling/subtree loops execute ~2^(dmax+1) masked leapfrogs per draw
+    where dmax is the *deepest* chain's tree, while this loop executes
+    only max-over-chains total leapfrogs (~2-3x fewer in practice).
+
+    Parameters and return value as :func:`_nuts_step_nested`.
+    """
+    logp_and_grad = jax.value_and_grad(logp_fn)
+    D = state.q.shape[0]
+    k_mom, k_tree = jax.random.split(rng)
+    p0 = jax.random.normal(k_mom, (D,)) / jnp.sqrt(inv_mass)
+    z0 = _Leaf(q=state.q, p=p0, grad=state.grad, logp=state.logp)
+    h0 = _energy(z0, inv_mass)
+
+    init = dict(
+        d=jnp.int32(0),               # current doubling
+        j=jnp.int32(0),               # leaf index within the subtree
+        v=jnp.float32(1.0),           # current direction
+        z=z0,                         # integration edge being extended
+        z_left=z0,
+        z_right=z0,
+        prop=z0,                      # tree-level proposal
+        logsumw=jnp.float32(0.0),     # tree-level multinomial weight
+        rsum=p0,                      # tree-level momentum sum
+        sub_prop=z0,
+        sub_logsumw=-jnp.inf,
+        sub_rsum=jnp.zeros(D),
+        ckpt_r=jnp.zeros((max_depth + 1, D)),
+        ckpt_rsum=jnp.zeros((max_depth + 1, D)),
+        sum_acc=jnp.float32(0.0),
+        n_leapfrog=jnp.int32(0),
+        depth=jnp.int32(0),           # doubling attempts (for info)
+        stop=jnp.bool_(False),
+        divergent=jnp.bool_(False),
+    )
+
+    def cond(c):
+        return ~c['stop'] & (c['d'] < max_depth)
+
+    def body(c):
+        d, j, v = c['d'], c['j'], c['v']
+
+        # -- subtree start: pick a direction, reset subtree state -----
+        starting = j == 0
+        k_dir = jax.random.fold_in(k_tree, 2 * d)
+        v_new = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0)
+        v = jnp.where(starting, v_new, v)
+        edge = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(v > 0, a, b),
+            c['z_right'], c['z_left']
+        )
+        z = jax.tree_util.tree_map(
+            lambda e, zz: jnp.where(starting, e, zz), edge, c['z']
+        )
+        sub_logsumw = jnp.where(starting, -jnp.inf, c['sub_logsumw'])
+        sub_rsum = jnp.where(starting, jnp.zeros(D), c['sub_rsum'])
+        depth = c['depth'] + starting.astype(jnp.int32)
+
+        # -- one leapfrog + within-subtree multinomial proposal -------
+        z = _leapfrog1(logp_and_grad, z, v * step_size, inv_mass)
+        h = _energy(z, inv_mass)
+        h = jnp.where(jnp.isnan(h), jnp.inf, h)
+        log_w = h0 - h
+        divergent = (h - h0) > _DIVERGENCE
+
+        k_sub = jax.random.fold_in(k_tree, 2 * d + 1)
+        sub_logsumw_new = jnp.logaddexp(sub_logsumw, log_w)
+        take = jnp.log(
+            jax.random.uniform(jax.random.fold_in(k_sub, j))
+        ) < log_w - sub_logsumw_new
+        # the first leaf always seeds the subtree proposal: sub_logsumw
+        # is -inf at a subtree start, so take is True by construction
+        sub_prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, a, b), z, c['sub_prop']
+        )
+
+        sum_acc = c['sum_acc'] + jnp.minimum(1.0, jnp.exp(log_w))
+
+        # -- checkpoint bookkeeping for within-subtree U-turns --------
+        rsum_before = sub_rsum
+        sub_rsum = rsum_before + z.p
+        pc = _popcount(j)
+        is_start = (j % 2) == 0
+        ckpt_r = jnp.where(
+            is_start, c['ckpt_r'].at[pc].set(z.p), c['ckpt_r']
+        )
+        ckpt_rsum = jnp.where(
+            is_start, c['ckpt_rsum'].at[pc].set(rsum_before),
+            c['ckpt_rsum']
+        )
+        t = _trailing_ones(j)
+
+        def check(i, turning):
+            idx = pc - 1 - i
+            active = i < t
+            sub_r = sub_rsum - ckpt_rsum[idx]
+            turn_i = _is_turning(sub_r, ckpt_r[idx], z.p, inv_mass)
+            return turning | (active & turn_i)
+
+        sub_turning = lax.fori_loop(
+            0, max_depth + 1, check, jnp.bool_(False)
+        )
+
+        j = j + 1
+        n_leapfrog = c['n_leapfrog'] + 1
+        n_leaves = jnp.int32(2) ** d
+        complete = j >= n_leaves
+        aborted = sub_turning | divergent
+
+        # -- doubling merge (only when the subtree completed cleanly) --
+        ok = complete & ~aborted
+        k_swap = jax.random.fold_in(k_tree, 2 * d + 11311)
+        take2 = ok & (
+            jnp.log(jax.random.uniform(k_swap))
+            < sub_logsumw_new - c['logsumw']
+        )
+        prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take2, a, b), sub_prop, c['prop']
+        )
+        z_left = jax.tree_util.tree_map(
+            lambda new, old: jnp.where((v < 0) & ok, new, old),
+            z, c['z_left']
+        )
+        z_right = jax.tree_util.tree_map(
+            lambda new, old: jnp.where((v > 0) & ok, new, old),
+            z, c['z_right']
+        )
+        rsum = jnp.where(ok, c['rsum'] + sub_rsum, c['rsum'])
+        logsumw = jnp.where(
+            ok, jnp.logaddexp(c['logsumw'], sub_logsumw_new),
+            c['logsumw']
+        )
+        whole_turn = _is_turning(rsum, z_left.p, z_right.p, inv_mass)
+        stop = aborted | (complete & (~ok | whole_turn))
+
+        return dict(
+            d=d + complete.astype(jnp.int32),
+            j=jnp.where(complete, 0, j),
+            v=v,
+            z=z,
+            z_left=z_left,
+            z_right=z_right,
+            prop=prop,
+            logsumw=logsumw,
+            rsum=rsum,
+            sub_prop=sub_prop,
+            sub_logsumw=sub_logsumw_new,
+            sub_rsum=sub_rsum,
+            ckpt_r=ckpt_r,
+            ckpt_rsum=ckpt_rsum,
+            sum_acc=sum_acc,
+            n_leapfrog=n_leapfrog,
+            depth=depth,
+            stop=stop,
+            divergent=c['divergent'] | divergent,
         )
 
     out = lax.while_loop(cond, body, init)

@@ -3,14 +3,25 @@
 The reference schedules independent graph-pair jobs across thread blocks
 with a global atomic counter (``template.cu:57-63``); on TPU the job list
 becomes a static partition of the upper-triangular pair index set over the
-'pairs' mesh axis, solved locally by the batched CG and reassembled with an
-all-gather (implicit in the shard_map output spec).
+mesh, solved locally by the batched CG and reassembled with an all-gather
+(implicit in the shard_map output spec).
 
 Size-bucketed factories (``GramFactory(buckets='auto')``, the default for
 heterogeneous graph sets) are supported directly: each size-class pair
 group keeps its own padded shapes and its job list is sharded over the
-mesh axis independently, so every device works on every size class — the
+mesh independently, so every device works on every size class — the
 static-partition analogue of the reference's dynamic load balancing.
+
+By default jobs are sharded over ALL mesh axes (``axis=None``): a
+standalone Gram build on a {'pairs': 4, 'chains': 2} mesh uses all 8
+devices instead of duplicating work along the chains axis. Pass an axis
+name (or tuple) to restrict the job sharding, e.g. when other axes carry
+other work.
+
+When the factory holds precomputed incidence one-hots (the usual case
+within the one-hot memory budget), they are sharded along the job axis
+and passed straight into each shard's solve, rather than being rebuilt
+in-trace on every device.
 """
 from functools import partial
 
@@ -20,18 +31,26 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+_OH_KEYS = ('oh_src_1', 'oh_dst_1', 'oh_src_2', 'oh_dst_2')
 
-def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
+
+def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
     """Build a jitted ``theta_log_active -> K`` over the mesh, with pair
-    jobs sharded along ``axis``.
+    jobs sharded along ``axis`` (default: all mesh axes).
 
     Parameters
     ----------
     factory: :class:`graphdot_tpu.inference.gram.GramFactory`
-    mesh: jax.sharding.Mesh with the given axis.
+    mesh: jax.sharding.Mesh.
+    axis: None | str | tuple of str
+        Mesh axes to shard the job list over. None uses every axis.
     """
     n = factory._n
-    n_dev = mesh.shape[axis]
+    if axis is None:
+        axis = tuple(mesh.axis_names)
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    spec = P(axes)
 
     if factory._groups is not None:
         raw_groups = [
@@ -41,7 +60,9 @@ def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
                 gi=np.asarray(grp['gi']), gj=np.asarray(grp['gj']),
                 idx1=np.asarray(grp['idx1']),
                 idx2=np.asarray(grp['idx2']),
-                maxiter=min(grp['ca'] * grp['cb'], 10000),
+                onehots=grp['onehots'],
+                maxiter=min(grp['ca'] * grp['cb'],
+                            factory._maxiter_cap),
             )
             for grp in factory._groups
         ]
@@ -51,7 +72,9 @@ def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
             batch1=factory._batch, batch2=factory._batch,
             pfix1=factory._p_fixed, pfix2=factory._p_fixed,
             gi=iu, gj=ju, idx1=iu, idx2=ju,
-            maxiter=min(factory._n_pad * factory._n_pad, 10000),
+            onehots=factory._onehots,
+            maxiter=min(factory._n_pad * factory._n_pad,
+                        factory._maxiter_cap),
         )]
 
     groups = []
@@ -59,11 +82,20 @@ def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
         n_jobs = len(grp['idx1'])
         pad = (-n_jobs) % n_dev
 
-        def _pad(a):
+        def _pad_idx(a):
             return jnp.asarray(
                 np.concatenate([a, np.zeros(pad, dtype=a.dtype)])
                 .astype(np.int32)
             )
+
+        # precomputed per-job one-hots shard along the job axis; padded
+        # jobs get zero rows (their results are discarded below)
+        oh = grp['onehots']
+        has_oh = all(k in oh for k in _OH_KEYS)
+        oh_args = tuple(
+            jnp.pad(oh[k], [(0, pad)] + [(0, 0)] * (oh[k].ndim - 1))
+            for k in _OH_KEYS
+        ) if has_oh else ()
 
         solver = shard_map(
             partial(
@@ -71,13 +103,14 @@ def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
                 grp['pfix1'], grp['pfix2'], lmin, grp['maxiter']
             ),
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis)),
-            out_specs=P(axis),
+            in_specs=(P(), spec, spec) + (spec,) * len(oh_args),
+            out_specs=spec,
             check_vma=False,
         )
         groups.append(dict(
             solver=solver, n_jobs=n_jobs,
-            idx1=_pad(grp['idx1']), idx2=_pad(grp['idx2']),
+            idx1=_pad_idx(grp['idx1']), idx2=_pad_idx(grp['idx2']),
+            oh_args=oh_args,
             gi=jnp.asarray(grp['gi'].astype(np.int32)),
             gj=jnp.asarray(grp['gj'].astype(np.int32)),
         ))
@@ -87,7 +120,8 @@ def sharded_gram_fn(factory, mesh, axis='pairs', lmin=0):
         theta = factory.full_theta(theta_log_active)
         K = jnp.zeros((n, n), dtype=jnp.float32)
         for grp in groups:
-            r = grp['solver'](theta, grp['idx1'], grp['idx2'])
+            r = grp['solver'](
+                theta, grp['idx1'], grp['idx2'], *grp['oh_args'])
             r = r[:grp['n_jobs']]
             K = K.at[grp['gi'], grp['gj']].set(r)
             K = K.at[grp['gj'], grp['gi']].set(r)

@@ -197,3 +197,71 @@ def test_checkpoint_resume(tmp_path):
     assert np.all(np.isfinite(s))
     # resumed chains continue sampling the same target
     assert np.abs(s.reshape(-1, 2).mean(0) - mu).max() < 0.5
+
+
+def test_nuts_flat_matches_nested():
+    """The flat single-loop NUTS (production) and the nested-loop
+    reference use the same RNG fold scheme and tree rules, so given the
+    same key they must produce the same transition."""
+    from graphdot_tpu.inference.nuts import (
+        nuts_step, _nuts_step_nested
+    )
+    from graphdot_tpu.inference.hmc import hmc_init
+
+    logp, mu, cov = _gauss_target(3, seed=4)
+    state = hmc_init(logp, jnp.asarray(mu) + 0.5)
+    inv_mass = jnp.asarray([1.0, 0.5, 2.0], dtype=jnp.float32)
+
+    flat = jax.jit(lambda k, s: nuts_step(
+        k, s, logp, 0.4, inv_mass, max_depth=6))
+    nested = jax.jit(lambda k, s: _nuts_step_nested(
+        k, s, logp, 0.4, inv_mass, max_depth=6))
+
+    s_f, s_n = state, state
+    for i in range(25):
+        key = jax.random.PRNGKey(100 + i)
+        s_f, info_f = flat(key, s_f)
+        s_n, info_n = nested(key, s_n)
+        assert np.allclose(s_f.q, s_n.q, rtol=1e-5, atol=1e-6), i
+        assert int(info_f['n_leapfrog']) == int(info_n['n_leapfrog']), i
+        assert int(info_f['depth']) == int(info_n['depth']), i
+        assert bool(info_f['divergent']) == bool(info_n['divergent'])
+        assert np.allclose(info_f['accept_prob'], info_n['accept_prob'],
+                           rtol=1e-4, atol=1e-6), i
+
+
+def test_sharded_cg_solve_matches_cholesky():
+    """Row-sharded distributed CG (psum dots + per-iteration all-gather)
+    agrees with a replicated Cholesky solve of (K + alpha I) x = y."""
+    from graphdot_tpu.parallel import make_mesh, sharded_gp_solve
+
+    rng = np.random.default_rng(0)
+    n = 64
+    A = rng.normal(size=(n, n)).astype(np.float32) * 0.1
+    K = A @ A.T + np.eye(n, dtype=np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    alpha = 0.01
+
+    mesh = make_mesh({'pairs': 8})
+    x = np.asarray(sharded_gp_solve(mesh, jnp.asarray(K),
+                                    jnp.asarray(y), alpha, tol=1e-7))
+    x_ref = np.linalg.solve(K + alpha * np.eye(n), y)
+    assert np.allclose(x, x_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_gram_full_mesh(gp_problem):
+    """A standalone sharded Gram build on a 2-axis mesh shards jobs over
+    the PRODUCT of the axes (no duplicated work along 'chains') and
+    matches the unsharded result; precomputed one-hots ride along as
+    sharded operands."""
+    from graphdot_tpu.inference import GramFactory
+    from graphdot_tpu.parallel import make_mesh, sharded_gram_fn
+
+    kernel, graphs, y = gp_problem
+    factory = GramFactory(kernel, graphs, normalize=True)
+    mesh = make_mesh({'pairs': 4, 'chains': 2})
+    gram = sharded_gram_fn(factory, mesh)           # axis=None: all axes
+    t0 = jnp.asarray(factory.theta0, dtype=jnp.float32)
+    K_sharded = np.asarray(gram(t0))
+    K_ref = np.asarray(jax.jit(factory.gram)(t0))
+    assert np.allclose(K_sharded, K_ref, rtol=1e-5, atol=1e-6)
