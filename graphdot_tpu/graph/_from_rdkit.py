@@ -67,12 +67,26 @@ class FunctionalGroup:
         return self.get_rank_list() > other.get_rank_list()
 
 
+# V2000 bond-block lines: >= 4 right-aligned integer fields
+# (begin atom, end atom, bond type, stereo flag). Atom lines contain
+# float coordinates and the counts line ends in 'V2000', so neither can
+# match. Divergence from the reference: its character-class pattern
+# (``_from_rdkit.py:103``) cannot match a 12-character bond line, so its
+# orientation dict is silently empty; the field-wise parse below actually
+# recovers the wedge/hash flags.
+_BOND_LINE = re.compile(
+    r'^[ \t]*(\d+)[ \t]+(\d+)[ \t]+(\d+)[ \t]+(\d+)(?:[ \t]+\d+)*'
+    r'[ \t]*$',
+    re.MULTILINE
+)
+
+
 def get_bond_orientation_dict(mol):
     """Parse wedge/hash bond orientations out of a molblock."""
     from rdkit.Chem import AllChem as Chem
     bond_orientation_dict = {}
     mb = Chem.MolToMolBlock(mol, includeStereo=True, kekulize=False)
-    for i, j, _, d in re.findall(r'^[\s*(\d+)]{4}$', mb, re.MULTILINE):
+    for i, j, _, d in _BOND_LINE.findall(mb):
         i, j, d = int(i) - 1, int(j) - 1, int(d)
         i, j = min(i, j), max(i, j)
         bond_orientation_dict[(i, j)] = d

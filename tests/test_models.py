@@ -217,3 +217,42 @@ def test_gpr_on_graphs_end_to_end():
             - gpr.log_marginal_likelihood(tm)
         ) / (2 * eps)
         assert grad[i] == pytest.approx(fd, rel=0.05, abs=0.5), i
+
+
+def test_mcts_graph_transformer_seek():
+    """MCTSGraphTransformer.seek on a toy integer 'graph' space with an
+    exact surrogate: rewriting increments/decrements the value, the
+    surrogate predicts it directly, and the search must discover states
+    at (or near) the target and rank them first by likelihood
+    (reference semantics: tree_search/graph_transformer.py seek)."""
+    import numpy as np
+    from graphdot_tpu.model.tree_search import MCTSGraphTransformer
+
+    class ExactSurrogate:
+        def predict(self, X, return_cov=False):
+            mean = np.asarray([float(g) for g in X])
+            cov = np.eye(len(mean)) * 0.25
+            return (mean, cov) if return_cov else mean
+
+    def rewriter(node, rng):
+        g = int(node.g)
+        return [g - 1, g + 1, g + rng.integers(-2, 3)]
+
+    mcts = MCTSGraphTransformer(
+        rewriter=rewriter, surrogate=ExactSurrogate(),
+        exploration_bias=1.0, precision=0.1,
+    )
+    df = mcts.seek(g0=0, target=3.0, maxiter=120, random_state=42)
+
+    # the best-ranked discovered states sit at/near the target
+    best = df.g.iloc[0]
+    assert abs(best - 3.0) <= 1.0
+    assert df.likelihood.iloc[0] >= df.likelihood.iloc[-1]
+    assert (df.likelihood.values[:-1] >= df.likelihood.values[1:]).all()
+
+    # return_tree=True exposes the raw search tree
+    tree = mcts.seek(g0=0, target=3.0, maxiter=10, return_tree=True,
+                     random_state=0)
+    assert tree.children[0] is not None
+    flat = tree.flat
+    assert 'level' in flat.columns and len(flat) > 10
