@@ -1,16 +1,19 @@
 """Partition-based reordering to minimize non-empty tiles.
 
-The reference implements PBR via recursive hypergraph bisection with KaHyPar
-(``graphdot/graph/reorder/pbr/mnom.py:11,296``). KaHyPar is an optional
-dependency; when it is unavailable this module falls back to a
-tile-aware greedy strategy: a spectral (Fiedler-vector) ordering followed by
-reverse Cuthill-McKee refinement, which in practice yields a similar
-reduction in the number of non-empty TILE x TILE blocks of the adjacency
-matrix — the quantity that governs the TPU solver's matvec cost.
+The reference implements PBR via recursive hypergraph bisection with
+KaHyPar (``graphdot/graph/reorder/pbr/mnom.py:11,296``); this build
+ships a dependency-free reimplementation of the same MNOM algorithm
+(:mod:`.mnom`: column-net hypergraph, exact tile-aligned bisection
+targets, message nets) and additionally races it against identity, RCM,
+and a spectral ordering, returning whichever yields the fewest nonempty
+TILE x TILE blocks — the quantity that governs the TPU solver's matvec
+cost.
 """
 import numpy as np
 import scipy.sparse
 import scipy.sparse.csgraph
+
+from .mnom import PbrMnom
 
 
 def _tile_count(A, perm, tile=8):
@@ -28,9 +31,12 @@ def _spectral_perm(A):
     if n <= 2:
         return np.arange(n)
     L = scipy.sparse.csgraph.laplacian(A.astype(float), normed=True)
+    if n <= 4096:
+        vals, vecs = np.linalg.eigh(np.asarray(L.todense()))
+        return np.argsort(vecs[:, np.argsort(vals)[1]])
     try:
         vals, vecs = scipy.sparse.linalg.eigsh(
-            L, k=2, which='SM', maxiter=5000
+            L, k=2, sigma=0, which='LM', maxiter=5000
         )
         fiedler = vecs[:, np.argsort(vals)[1]]
         return np.argsort(fiedler)
@@ -54,18 +60,12 @@ def pbr(g, tile=8):
         Array of permuted node indices; pass to ``Graph.permute``.
     """
     A = g.adjacency_matrix.tocsr()
-    try:
-        from .pbr_kahypar import PbrMnom
-        mnom = PbrMnom(tilesize=tile)
-        coo = A.tocoo()
-        return mnom(coo.row, coo.col, A.shape[0], A.shape[1])
-    except ImportError:
-        pass
-
+    coo = A.tocoo()
     candidates = [
         np.arange(A.shape[0]),
         scipy.sparse.csgraph.reverse_cuthill_mckee(A, symmetric_mode=True),
         _spectral_perm(A),
+        PbrMnom(tilesize=tile)(coo.row, coo.col, A.shape[0], A.shape[1]),
     ]
     counts = [_tile_count(A, p, tile) for p in candidates]
     return np.asarray(candidates[int(np.argmin(counts))])

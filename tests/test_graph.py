@@ -163,3 +163,65 @@ def test_markdown_printer(capsys):
     lines = out.strip().split('\n')
     assert lines[0].startswith('|') and 'a' in lines[0]
     assert len(lines) == 4  # header, separator, two rows
+
+
+def test_mnom_recursive_bisection():
+    """The MNOM recursive-bisection reorder (pure-Python rebuild of the
+    reference's KaHyPar-based PBR) recovers planted tile-sized clusters
+    and never loses to RCM/identity through the pbr() front end."""
+    import scipy.sparse
+    import scipy.sparse.csgraph as csg
+    from graphdot_tpu.graph.reorder.mnom import PbrMnom
+    from graphdot_tpu.graph.reorder.pbr import _tile_count
+
+    # planted 8-clusters with shuffled labels + sparse noise
+    rng = np.random.default_rng(0)
+    n, t = 96, 8
+    perm_true = rng.permutation(n)
+    rows, cols = [], []
+    for c in range(n // t):
+        members = perm_true[c * t:(c + 1) * t]
+        for a in range(t):
+            for b in range(a + 1, t):
+                if rng.random() < 0.8:
+                    rows.append(members[a])
+                    cols.append(members[b])
+    for _ in range(20):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            rows.append(i)
+            cols.append(j)
+    A = scipy.sparse.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.int8).tocsr()
+    coo = A.tocoo()
+
+    perm_m = PbrMnom(tilesize=t)(coo.row, coo.col, n, n)
+    assert sorted(perm_m) == list(range(n))        # valid permutation
+    c_id = _tile_count(A, np.arange(n))
+    c_rcm = _tile_count(
+        A, csg.reverse_cuthill_mckee(A, symmetric_mode=True))
+    c_mnom = _tile_count(A, perm_m)
+    assert c_mnom < c_id / 2                       # clusters recovered
+    assert c_mnom <= c_rcm                         # parity with RCM
+
+    # tiny graphs short-circuit to identity
+    assert list(PbrMnom(tilesize=8)([0, 1], [1, 0], 3, 3)) == [0, 1, 2]
+
+
+def test_pbr_never_worse_than_rcm_on_nws():
+    """pbr() races identity/RCM/spectral/MNOM and returns the best, so
+    its tile count is <= RCM's on Newman-Watts-Strogatz graphs (the
+    reference benchmark family)."""
+    import scipy.sparse.csgraph as csg
+    from graphdot_tpu.graph.reorder.pbr import _tile_count
+
+    for n, k, p, seed in ((64, 6, 0.1, 1), (100, 4, 0.05, 2)):
+        nxg = nx.newman_watts_strogatz_graph(n, k, p, seed=seed)
+        g = Graph.from_networkx(nxg)
+        A = g.adjacency_matrix.tocsr()
+        c_pbr = _tile_count(A, pbr(g))
+        c_rcm = _tile_count(
+            A, csg.reverse_cuthill_mckee(A, symmetric_mode=True))
+        c_id = _tile_count(A, np.arange(n))
+        assert c_pbr <= min(c_rcm, c_id)
