@@ -9,5 +9,5 @@ hyperparameters) and multi-chip sharding over ``jax.sharding.Mesh``.
 """
 from .graph import Graph
 
-__version__ = '0.2.0'
+__version__ = '0.3.0'
 __all__ = ['Graph']
