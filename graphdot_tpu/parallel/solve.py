@@ -12,8 +12,6 @@ Vectors are sharded along the same axis as K's rows; the returned
 solution is sharded likewise (all-gather it outside if a replicated
 result is needed).
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
