@@ -71,27 +71,35 @@ class M3:
             for a2 in g2.nodes.itertuples()
         ])
 
-        # product-edge couplings: one entry per orientation combination
-        # of each pair of edges
-        vals, rows, cols = [], [], []
-        edges1 = list(zip(g1.edges['!i'], g1.edges['!j'],
-                          g1.edges.itertuples()))
-        edges2 = list(zip(g2.edges['!i'], g2.edges['!j'],
-                          g2.edges.itertuples()))
-        for i1, j1, e1 in edges1:
-            for i2, j2, e2 in edges2:
-                k = self.edge_kernel(e1, e2)
-                for (a, b), (c, d) in (
-                    ((i1, i2), (j1, j2)),
-                    ((j1, i2), (i1, j2)),
-                    ((j1, j2), (i1, i2)),
-                    ((i1, j2), (j1, i2)),
-                ):
-                    vals.append(k)
-                    rows.append(a * n2 + b)
-                    cols.append(c * n2 + d)
+        # product-edge couplings, vectorized: evaluate the edge kernel on
+        # the m1 x m2 cross of undirected edges once, then scatter each
+        # value to the four orientation combinations on the product space
+        m1, m2 = len(g1.edges), len(g2.edges)
+        kvals = np.array([
+            self.edge_kernel(e1, e2)
+            for e1 in g1.edges.itertuples()
+            for e2 in g2.edges.itertuples()
+        ]).reshape(m1, m2)
+        i1 = np.asarray(g1.edges['!i'], dtype=np.int64)
+        j1 = np.asarray(g1.edges['!j'], dtype=np.int64)
+        i2 = np.asarray(g2.edges['!i'], dtype=np.int64)
+        j2 = np.asarray(g2.edges['!j'], dtype=np.int64)
+        ends1 = np.stack([i1, j1])                      # [2, m1]
+        ends2 = np.stack([i2, j2])                      # [2, m2]
+        rows, cols, vals = [], [], []
+        for o1 in (0, 1):                # orientation of the g1 edge
+            for o2 in (0, 1):            # orientation of the g2 edge
+                src = (ends1[o1][:, None] * n2
+                       + ends2[o2][None, :])
+                dst = (ends1[1 - o1][:, None] * n2
+                       + ends2[1 - o2][None, :])
+                rows.append(src.ravel())
+                cols.append(dst.ravel())
+                vals.append(kvals.ravel())
         Ex = scipy.sparse.csc_matrix(
-            (vals, (rows, cols)), (n1 * n2, n1 * n2)
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            (n1 * n2, n1 * n2)
         )
 
         Dx = np.kron(d1, d2) / (1 - self.q) ** 2

@@ -28,6 +28,7 @@ is no extra HBM traffic. Measured on the bench workload (2080 pairs of
 loop, at 7.5e-6 relative agreement.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -244,7 +245,6 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
     defaults to 1 since packing only pays on the MXU); protein-scale
     pairs (working set > ~48 MB) run the product-dimension-blocked
     streaming kernel instead (see :func:`pallas_pcg_stream`)."""
-    import os
     P = T.shape[0]
     M1, M2 = T.shape[-2:]
     N1, N2 = diag.shape[-2:]
@@ -258,14 +258,16 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
         )
     if pack == 'auto':
         # experiment hook: GRAPHDOT_PALLAS_PACK=<int> forces the factor
-        import os
         pack = os.environ.get('GRAPHDOT_PALLAS_PACK', 'auto')
+    # experiment hook: max pairs per Pallas program
+    max_block = int(os.environ.get(
+        'GRAPHDOT_PALLAS_BLOCK_PAIRS', _MAX_BLOCK_PAIRS))
     if pack == 'auto':
         k = 1 if interpret else _best_pack(P, M1, M2, N1, N2)
     else:
         k = max(1, int(pack))
     bpp = _bytes_per_pair(k * M1, k * M2, k * N1, k * N2)
-    B = int(max(1, min(_MAX_BLOCK_PAIRS, -(-P // k),
+    B = int(max(1, min(max_block, -(-P // k),
                        _VMEM_BUDGET // max(bpp, 1))))
     P_pad = -(-P // (k * B)) * (k * B)
 

@@ -130,3 +130,33 @@ def test_kernel_induced_distance():
     D2, dD = kid(G, eval_gradient=True)
     assert np.allclose(D, D2)
     assert dD.shape[2] == len(mlgk.theta)
+
+
+def test_m3_metric_and_oracle_crosscheck():
+    """The experimental M3 metric: zero self-distance, symmetry, and —
+    the real point — its independent sparse-SciPy MLGK solve agrees with
+    the package's batched TPU solver on the same kernels."""
+    from graphdot_tpu.dataset._atoms import make_atoms
+    from graphdot_tpu.experimental.metric import M3
+    from graphdot_tpu.graph import Graph
+
+    rng = np.random.default_rng(0)
+    atoms1 = make_atoms([6, 6, 8, 1], rng.normal(size=(4, 3)) * 1.2)
+    atoms2 = make_atoms([6, 7, 8], rng.normal(size=(3, 3)) * 1.2)
+
+    m3 = M3(q=0.05)
+    assert m3(atoms1, atoms1) == pytest.approx(0.0, abs=1e-4)
+    d12 = m3(atoms1, atoms2)
+    assert d12 > 0.01
+    assert m3(atoms2, atoms1) == pytest.approx(d12, rel=1e-5)
+
+    # crosscheck: M3's scipy CG vs the package solver, nodal mode
+    args = dict(use_charge=False, adjacency=m3.adjacency)
+    g1 = Graph.from_ase(atoms1, **args)
+    g2 = Graph.from_ase(atoms2, **args)
+    R_scipy = m3._mlgk(g1, g2)
+    mlgk = MarginalizedGraphKernel(
+        m3.node_kernel, m3.edge_kernel, q=m3.q, backend='edge'
+    )
+    R_tpu = mlgk([g1], [g2], nodal=True)
+    assert np.allclose(R_scipy, R_tpu, rtol=1e-4, atol=1e-5)
