@@ -145,38 +145,12 @@ def _best_pack(P, M1, M2, N1, N2):
     return best_k
 
 
-def _blockdiag(a, k):
-    """[S*k, r, c] -> [S, k*r, k*c] with consecutive groups of k members
-    placed on the block diagonal."""
-    S = a.shape[0] // k
-    r, c = a.shape[1], a.shape[2]
-    ar = a.reshape(S, k, r, c)
-    eye = jnp.eye(k, dtype=a.dtype)
-    out = jnp.einsum('skrc,kl->skrlc', ar, eye)
-    return out.reshape(S, k * r, k * c)
-
-
-def _unpack_blockdiag(x, k, N1, N2):
-    """[S, k*N1, k*N2] -> [S*k, N1, N2] diagonal blocks."""
-    S = x.shape[0]
-    x5 = x.reshape(S, k, N1, k, N2)
-    xd = jnp.stack([x5[:, i, :, i, :] for i in range(k)], axis=1)
-    return xd.reshape(S * k, N1, N2)
-
-
-def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
-                diag_ref, precond_ref, b_ref, tol_ref, maxiter_ref,
-                x_ref, *, mode):
-    T = T_ref[:]
-    ohs1 = ohs1_ref[:]
-    ohd1 = ohd1_ref[:]
-    ohs2 = ohs2_ref[:]
-    ohd2 = ohd2_ref[:]
-    diag = diag_ref[:]
-    precond = precond_ref[:]
-    b = b_ref[:]
-    tol = tol_ref[:, :, 0:1]             # [B, 1, 1]
-    maxiter = maxiter_ref[0]
+def _cg_solve_values(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b,
+                     tol, maxiter, mode):
+    """The batched VMEM-resident Jacobi-PCG loop on materialized values;
+    shared by the plain and the packing kernels. ``tol`` is [B, 1, 1].
+    ``done`` is carried as a float mask (1.0 = converged): boolean
+    vectors in while-loop carries fail Mosaic legalization."""
     mm = _make_mm(mode)
 
     def matvec(y):
@@ -192,8 +166,6 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
         return jnp.sum(jnp.sum(a, axis=2, keepdims=True), axis=1,
                        keepdims=True)
 
-    # `done` is carried as a float mask (1.0 = converged): boolean
-    # vectors in while-loop carries fail Mosaic legalization
     z0 = precond * b
     rr0 = psum(b * b)
     done0 = (jnp.sqrt(rr0) < tol).astype(jnp.float32)
@@ -230,7 +202,60 @@ def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
         return (x, r, p, rz, done_new, it + 1)
 
     x, _, _, _, _, _ = lax.while_loop(cond, body, state0)
-    x_ref[:] = x
+    return x
+
+
+def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
+                diag_ref, precond_ref, b_ref, tol_ref, maxiter_ref,
+                x_ref, *, mode):
+    x_ref[:] = _cg_solve_values(
+        T_ref[:], ohs1_ref[:], ohd1_ref[:], ohs2_ref[:], ohd2_ref[:],
+        diag_ref[:], precond_ref[:], b_ref[:],
+        tol_ref[:, :, 0:1], maxiter_ref[0], mode
+    )
+
+
+def _pcg_pack_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
+                     diag_ref, precond_ref, b_ref, tol_ref,
+                     maxiter_ref, x_ref,
+                     Tp, s1p, d1p, s2p, d2p, dgp, pcp, bp,
+                     *, mode, k):
+    """Resident kernel with in-VMEM block-diagonal pair packing.
+
+    Inputs arrive compact ([B, k, ...] — one slot per packed member);
+    the packed operands are assembled into zeroed VMEM scratch with k
+    static diagonal-block writes. Compared to packing at the XLA level
+    this removes the k-times HBM blowup of the packed zeros entirely:
+    HBM traffic stays at the compact operand size while the MXU still
+    sees full [k*M, k*N] tiles. The solution is likewise emitted
+    compact.
+    """
+    B, _, M1, M2 = T_ref.shape
+    N1 = ohs1_ref.shape[3]
+    N2 = ohs2_ref.shape[3]
+
+    for ref in (Tp, s1p, d1p, s2p, d2p, dgp, pcp, bp):
+        ref[:] = jnp.zeros_like(ref)
+    for i in range(k):
+        r1 = slice(i * M1, (i + 1) * M1)
+        r2 = slice(i * M2, (i + 1) * M2)
+        c1 = slice(i * N1, (i + 1) * N1)
+        c2 = slice(i * N2, (i + 1) * N2)
+        Tp[:, r1, r2] = T_ref[:, i]
+        s1p[:, r1, c1] = ohs1_ref[:, i]
+        d1p[:, r1, c1] = ohd1_ref[:, i]
+        s2p[:, r2, c2] = ohs2_ref[:, i]
+        d2p[:, r2, c2] = ohd2_ref[:, i]
+        dgp[:, c1, c2] = diag_ref[:, i]
+        pcp[:, c1, c2] = precond_ref[:, i]
+        bp[:, c1, c2] = b_ref[:, i]
+
+    x = _cg_solve_values(
+        Tp[:], s1p[:], d1p[:], s2p[:], d2p[:], dgp[:], pcp[:], bp[:],
+        tol_ref[:, :, 0:1], maxiter_ref[0], mode
+    )
+    for i in range(k):
+        x_ref[:, i] = x[:, i * N1:(i + 1) * N1, i * N2:(i + 1) * N2]
 
 
 def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
@@ -274,30 +299,43 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
     def _pad(a):
         return jnp.pad(a, [(0, P_pad - P)] + [(0, 0)] * (a.ndim - 1))
 
-    def _prep(a):
+    def _group(a):
         a = _pad(a)
-        return _blockdiag(a, k) if k > 1 else a
+        return a.reshape(P_pad // k, k, *a.shape[1:])
 
-    ops = tuple(_prep(a) for a in (T, ohs1, ohd1, ohs2, ohd2,
-                                   diag, precond))
     tol_p = jnp.pad(tol, (0, P_pad - P), constant_values=1.0)
-    if k > 1:
-        # min over packed members: the combined residual norm then bounds
-        # every member's residual by its own tolerance
-        tol_p = jnp.min(tol_p.reshape(P_pad // k, k), axis=1)
     # the union system has k x the dof; scale the iteration bound
     maxiter_k = min(maxiter * k, 16384)
 
+    if k == 1:
+        ops = tuple(_pad(a) for a in (T, ohs1, ohd1, ohs2, ohd2,
+                                      diag, precond))
+
+        def solve(b_flat):
+            b = _pad(b_flat.reshape(P, N1, N2))
+            x = pallas_pcg(
+                *ops, b, tol_p,
+                block_pairs=B, maxiter=maxiter_k, interpret=interpret,
+                mode=mode
+            )
+            return x[:P].reshape(P, N1 * N2)
+
+        return solve
+
+    ops = tuple(_group(a) for a in (T, ohs1, ohd1, ohs2, ohd2,
+                                    diag, precond))
+    # min over packed members: the combined residual norm then bounds
+    # every member's residual by its own tolerance
+    tol_g = jnp.min(tol_p.reshape(P_pad // k, k), axis=1)
+
     def solve(b_flat):
-        b = _prep(b_flat.reshape(P, N1, N2))
-        x = pallas_pcg(
-            *ops[:5], ops[5], ops[6], b, tol_p,
-            block_pairs=B, maxiter=maxiter_k, interpret=interpret,
-            mode=mode
+        b = _group(b_flat.reshape(P, N1, N2))
+        x = pallas_pcg_packed(
+            *ops, b, tol_g,
+            block_pairs=B, k=k, maxiter=maxiter_k,
+            interpret=interpret, mode=mode
         )
-        if k > 1:
-            x = _unpack_blockdiag(x, k, N1, N2)
-        return x[:P].reshape(P, N1 * N2)
+        return x.reshape(P_pad, N1, N2)[:P].reshape(P, N1 * N2)
 
     return solve
 
@@ -641,3 +679,77 @@ def pallas_pcg_stream(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol2d, maxiter_arr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('block_pairs', 'k', 'maxiter', 'interpret', 'mode')
+)
+def pallas_pcg_packed(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
+                      block_pairs=16, k=4, maxiter=1024,
+                      interpret=False, mode='split2'):
+    """Solve with block-diagonal pair packing assembled inside the
+    kernel. All operands carry a compact member axis: T [S, k, M1, M2],
+    one-hots [S, k, M, N], diag/precond/b [S, k, N1, N2], tol [S] (the
+    min over each group's members). Returns x [S, k, N1, N2].
+    """
+    S = T.shape[0]
+    M1, M2 = T.shape[-2:]
+    N1, N2 = diag.shape[-2:]
+    B = block_pairs
+    assert S % B == 0, f'S={S} not a multiple of block_pairs={B}'
+    grid = (S // B,)
+
+    def specs(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (B, k, *shape), lambda i: (i, 0, *([0] * nd)),
+            memory_space=pltpu.VMEM
+        )
+
+    maxiter_arr = jnp.full((1,), maxiter, dtype=jnp.int32)
+    tol = jnp.broadcast_to(tol[:, None, None], (S, 1, 128))
+
+    passes = {'split2': 2, 'default': 1, 'highest': 6}[mode]
+    kM1, kM2, kN1, kN2 = k * M1, k * M2, k * N1, k * N2
+    flops_matvec = 2 * B * (kM1 * kN1 * kN2 + kM1 * kM2 * kN2
+                            + kN1 * kM1 * kM2 + kN1 * kM2 * kN2) * passes
+
+    return pl.pallas_call(
+        functools.partial(_pcg_pack_kernel, mode=mode, k=k),
+        grid=grid,
+        in_specs=[
+            specs(M1, M2),           # T (compact)
+            specs(M1, N1),           # ohs1
+            specs(M1, N1),           # ohd1
+            specs(M2, N2),           # ohs2
+            specs(M2, N2),           # ohd2
+            specs(N1, N2),           # diag
+            specs(N1, N2),           # precond
+            specs(N1, N2),           # b
+            pl.BlockSpec((B, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # tol
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # maxiter
+        ],
+        out_specs=specs(N1, N2),
+        out_shape=jax.ShapeDtypeStruct((S, k, N1, N2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, kM1, kM2), jnp.float32),   # Tp
+            pltpu.VMEM((B, kM1, kN1), jnp.float32),   # s1p
+            pltpu.VMEM((B, kM1, kN1), jnp.float32),   # d1p
+            pltpu.VMEM((B, kM2, kN2), jnp.float32),   # s2p
+            pltpu.VMEM((B, kM2, kN2), jnp.float32),   # d2p
+            pltpu.VMEM((B, kN1, kN2), jnp.float32),   # dgp
+            pltpu.VMEM((B, kN1, kN2), jnp.float32),   # pcp
+            pltpu.VMEM((B, kN1, kN2), jnp.float32),   # bp
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_matvec * 32,
+            bytes_accessed=4 * B * k * (M1 * M2 + 2 * M1 * N1
+                                        + 2 * M2 * N2 + 4 * N1 * N2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol, maxiter_arr)
