@@ -78,6 +78,25 @@ def main():
         raise SystemExit(f'numerics gate failed: {failures}')
     print('all precision modes within gates')
 
+    # nodal + gradient traits through the fused kernel, on device
+    small = random_molecule_set(3, 8, n_atoms_range=(6, 12))
+
+    def nodal_grad(backend):
+        k = MarginalizedGraphKernel(
+            TensorProduct(element=KroneckerDelta(0.2)),
+            TensorProduct(length=SquareExponential(0.3)),
+            q=0.05, backend=backend,
+        )
+        return k(small, eval_gradient=True, nodal=True)
+
+    Re, dRe = nodal_grad('edge')
+    Rp, dRp = nodal_grad('pallas')
+    dv = float(np.max(np.abs(Rp - Re)))
+    dg = float(np.max(np.abs(dRp - dRe)))
+    print(f'nodal+grad drift: value={dv:.3g} grad={dg:.3g}')
+    assert dv <= 1e-4 and dg <= 1e-2, (dv, dg)
+    print('nodal/gradient gate ok')
+
 
 if __name__ == '__main__':
     main()

@@ -265,3 +265,30 @@ def test_sharded_gram_full_mesh(gp_problem):
     K_sharded = np.asarray(gram(t0))
     K_ref = np.asarray(jax.jit(factory.gram)(t0))
     assert np.allclose(K_sharded, K_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gp_nuts_protein_scale_smoke():
+    """The north-star combination end-to-end: NUTS over a GPR posterior
+    whose Gram build runs on protein-scale contact-map graphs (product
+    spaces >> molecule scale). A short chain only — this guards the
+    trace/gradient path, not mixing."""
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.testing import random_protein_set
+
+    graphs = random_protein_set(2, 4, (30, 45))
+    rng = np.random.default_rng(0)
+    y = np.array([0.1 * len(g.nodes) + rng.normal() for g in graphs])
+    kernel = MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.2)),
+        TensorProduct(length=SquareExponential(3.0)), q=0.05)
+    lp = GPRLogProb(kernel, graphs, y, alpha=1e-2, normalize_y=True)
+    out = sample(lp, jax.random.PRNGKey(0), n_chains=2, n_warmup=4,
+                 n_samples=3, init=jnp.asarray(lp.theta0, jnp.float32),
+                 max_depth=3, init_jitter=0.02)
+    s = np.asarray(out['samples'])
+    assert s.shape == (2, 3, lp.n_dims)
+    assert np.all(np.isfinite(s))
+    assert np.all(np.isfinite(np.asarray(out['logp'])))
