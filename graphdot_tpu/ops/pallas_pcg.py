@@ -578,6 +578,38 @@ def _pick_tile_m(M1, M2, N1, N2):
     return tile_m
 
 
+def _make_stream_call(maxiter, tile_m, interpret, mode):
+    """The streaming kernel behind a custom vmap rule: Pallas's native
+    batching rule would try to block the HBM-resident (ANY-space) T
+    operand, which Mosaic rejects — so a batch axis (e.g. vmapped MCMC
+    chains driving protein-scale Grams) is executed as a sequential
+    ``lax.map`` over kernel invocations instead. Chains time-share one
+    core anyway; sequencing them costs nothing but keeps every
+    invocation at the kernel's native shapes."""
+
+    @jax.custom_batching.custom_vmap
+    def call(T, s1, d1, s2, d2, dg, pc, b, tol):
+        return pallas_pcg_stream(
+            T, s1, d1, s2, d2, dg, pc, b, tol,
+            maxiter=maxiter, tile_m=tile_m, interpret=interpret,
+            mode=mode
+        )
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def body(i):
+            sel = [
+                lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+                if ib else a
+                for a, ib in zip(args, in_batched)
+            ]
+            return call(*sel)
+        out = lax.map(body, jnp.arange(axis_size))
+        return out, True
+
+    return call
+
+
 def _stream_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
                    maxiter, mode, interpret):
     P, M1, M2 = T.shape
@@ -599,14 +631,11 @@ def _stream_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
     ohd1p = _pad(ohd1, M1p - M1, 0)
     ohs2p = _pad(ohs2, M2p - M2, 0)
     ohd2p = _pad(ohd2, M2p - M2, 0)
+    call = _make_stream_call(maxiter, tile_m, interpret, mode)
 
     def solve(b_flat):
         b = b_flat.reshape(P, N1, N2)
-        x = pallas_pcg_stream(
-            Tp, ohs1p, ohd1p, ohs2p, ohd2p, diag, precond, b, tol,
-            maxiter=maxiter, tile_m=tile_m, interpret=interpret,
-            mode=mode
-        )
+        x = call(Tp, ohs1p, ohd1p, ohs2p, ohd2p, diag, precond, b, tol)
         return x.reshape(P, N1 * N2)
 
     return solve

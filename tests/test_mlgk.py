@@ -557,3 +557,34 @@ def test_bucketed_cross_similarity():
     Rn1 = k_flat(X, Y, nodal=True)
     Rn2 = k_buck(X, Y, nodal=True)
     assert np.allclose(Rn1, Rn2, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_streaming_vmap(monkeypatch):
+    """vmapping over the streaming kernel (e.g. MCMC chains driving
+    protein-scale Grams) must work: Pallas's native batching rule cannot
+    block the HBM-resident T operand, so a custom vmap rule sequences
+    the batch members. Checked against the edge backend under
+    vmap(value_and_grad)."""
+    import jax
+    import jax.numpy as jnp
+    from graphdot_tpu.inference import GPRLogProb
+    from graphdot_tpu.testing import random_molecule_set
+
+    monkeypatch.setenv('GRAPHDOT_PALLAS_STREAM', '1')
+    graphs = random_molecule_set(3, 4, n_atoms_range=(8, 12))
+    y = np.random.default_rng(0).normal(size=4)
+    knode = TensorProduct(element=KroneckerDelta(0.2))
+    kedge = TensorProduct(length=SquareExponential(0.3))
+
+    def lp(be):
+        k = MarginalizedGraphKernel(knode, kedge, q=0.05, backend=be)
+        return GPRLogProb(k, graphs, y, alpha=1e-2)
+
+    lpp, lpe = lp('pallas'), lp('edge')
+    t0 = jnp.asarray(lpp.theta0, jnp.float32)
+    qs = t0[None, :] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), (3, t0.shape[0]))
+    vp, gp = jax.vmap(jax.value_and_grad(lpp))(qs)
+    ve, ge = jax.vmap(jax.value_and_grad(lpe))(qs)
+    assert np.allclose(vp, ve, rtol=1e-4, atol=1e-4)
+    assert np.allclose(gp, ge, rtol=1e-3, atol=1e-3)
