@@ -581,11 +581,13 @@ def _pick_tile_m(M1, M2, N1, N2):
 def _make_stream_call(maxiter, tile_m, interpret, mode):
     """The streaming kernel behind a custom vmap rule: Pallas's native
     batching rule would try to block the HBM-resident (ANY-space) T
-    operand, which Mosaic rejects — so a batch axis (e.g. vmapped MCMC
-    chains driving protein-scale Grams) is executed as a sequential
-    ``lax.map`` over kernel invocations instead. Chains time-share one
-    core anyway; sequencing them costs nothing but keeps every
-    invocation at the kernel's native shapes."""
+    operand, which Mosaic rejects. Instead a batch axis (e.g. vmapped
+    MCMC chains driving protein-scale Grams) is folded into the pair
+    axis — batched operands reshape for free, unbatched ones broadcast —
+    so the grid simply runs C-times-P sequential pair programs at the
+    kernel's native shapes. (A lax.map over per-member kernel calls was
+    tried first: the dynamic-slice fusions XLA builds around each call
+    exceed the 16 MB scoped-vmem limit at protein operand sizes.)"""
 
     @jax.custom_batching.custom_vmap
     def call(T, s1, d1, s2, d2, dg, pc, b, tol):
@@ -597,15 +599,17 @@ def _make_stream_call(maxiter, tile_m, interpret, mode):
 
     @call.def_vmap
     def _rule(axis_size, in_batched, *args):
-        def body(i):
-            sel = [
-                lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
-                if ib else a
-                for a, ib in zip(args, in_batched)
-            ]
-            return call(*sel)
-        out = lax.map(body, jnp.arange(axis_size))
-        return out, True
+        C = axis_size
+
+        def fold(a, ib):
+            if ib:
+                return a.reshape(C * a.shape[1], *a.shape[2:])
+            return jnp.broadcast_to(
+                a[None], (C, *a.shape)
+            ).reshape(C * a.shape[0], *a.shape[1:])
+
+        out = call(*[fold(a, ib) for a, ib in zip(args, in_batched)])
+        return out.reshape(C, -1, *out.shape[1:]), True
 
     return call
 
