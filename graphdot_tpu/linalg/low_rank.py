@@ -1,227 +1,214 @@
-"""Lazy low-rank matrix algebra (reference:
-``graphdot/linalg/low_rank.py:51-283``).
+"""Factored ("low-rank") matrix algebra.
 
-Square matrices are represented as products of tall-skinny factors
-(``LATR``: L @ R; ``LLT``: symmetric L @ L^T from an SVD), and sums thereof
-(``Sum``), so that Nystrom-style GPR models never materialize N-by-N
-matrices.
+Fills the role of the reference's lazy low-rank classes
+(``graphdot/linalg/low_rank.py:51-283``) with a different architecture:
+
+* One uniform container, :class:`Factored`, holds a square matrix as a
+  *sum of tall-skinny products* ``sum_k L_k @ R_k``. Addition,
+  subtraction, transposition and composition all stay in this form, so
+  Nystrom-style models never materialize an N-by-N matrix.
+* The symmetric PSD case is :class:`Spectral`, which stores an
+  orthonormal basis and per-direction weights ``(U, s)`` representing
+  ``U diag(s^2) U^T``; pseudoinverse / logdet / powers act on ``s``.
+* Dense decompositions (SVD) run on the accelerator via
+  :mod:`graphdot_tpu.linalg._exec`; the regularized ``pinvh`` uses
+  matrix-free randomized subspace iteration (all matmuls, TPU-friendly)
+  instead of the reference's host-serial ARPACK Lanczos.
 """
 import numpy as np
-import scipy.sparse.linalg as splin
+
+from ._exec import svd as _device_svd
 
 
-class LowRankBase:
+def _terms_of(other):
+    if isinstance(other, Factored):
+        return other.terms
+    raise TypeError(f'Cannot combine Factored with {type(other)}.')
+
+
+class Factored:
+    """A square matrix held as ``sum_k L_k @ R_k``.
+
+    ``terms`` is a sequence of (L, R) pairs with shapes (n, k_i) and
+    (k_i, n).
+    """
+
+    def __init__(self, terms):
+        self.terms = [(np.asarray(L), np.asarray(R)) for L, R in terms]
+
+    def __repr__(self):
+        return ' + '.join(
+            f'[{L.shape[0]}x{L.shape[1]} @ {R.shape[0]}x{R.shape[1]}]'
+            for L, R in self.terms
+        )
+
+    # -- linear structure ------------------------------------------------
+
+    @property
+    def T(self):
+        return Factored([(R.T, L.T) for L, R in self.terms])
+
+    def __neg__(self):
+        return Factored([(-L, R) for L, R in self.terms])
+
     def __add__(self, other):
-        return add(self, other)
+        return Factored(self.terms + _terms_of(other))
 
     def __sub__(self, other):
-        return sub(self, other)
+        return Factored(self.terms + (-other).terms)
 
     def __matmul__(self, other):
-        return matmul(self, other)
+        if isinstance(other, Factored):
+            # contract through the small k x k inner blocks
+            return Factored([
+                (La @ (Ra @ Lb), Rb)
+                for La, Ra in self.terms for Lb, Rb in other.terms
+            ])
+        other = np.asarray(other)
+        out = 0
+        for L, R in self.terms:
+            out = out + L @ (R @ other)
+        return out
 
-
-class Sum(LowRankBase):
-    """Sum of factor approximations, stored as-is to preserve low-rank
-    structure under inner products."""
-
-    def __init__(self, factors):
-        self.factors = factors
-
-    def __repr__(self):
-        return ' + '.join([f'({repr(f)})' for f in self.factors])
-
-    @property
-    def T(self):
-        return Sum([f.T for f in self.factors])
-
-    def __neg__(self):
-        return Sum([-f for f in self.factors])
+    # -- reductions (never materialize n x n) ----------------------------
 
     def diagonal(self):
-        return np.sum([f.diagonal() for f in self.factors], axis=0)
-
-    def trace(self):
-        return np.sum([f.diagonal().sum() for f in self.factors])
-
-    def quadratic(self, a, b):
-        """Computes a @ X @ b."""
-        return np.sum([f.quadratic(a, b) for f in self.factors], axis=0)
-
-    def todense(self):
-        return np.sum([f.todense() for f in self.factors], axis=0)
-
-
-class LATR(LowRankBase):
-    r"""An N-by-N matrix represented as :math:`L \cdot R` with N-by-k and
-    k-by-N factors, k << N."""
-
-    def __init__(self, lhs, rhs):
-        self._lhs = lhs
-        self._rhs = rhs
-
-    def __repr__(self):
-        return f'{self.lhs.shape} @ {self.rhs.shape}'
-
-    @property
-    def lhs(self):
-        return self._lhs
-
-    @property
-    def rhs(self):
-        return self._rhs
-
-    @property
-    def T(self):
-        return LATR(self.rhs.T, self.lhs.T)
-
-    def __neg__(self):
-        return LATR(-self.lhs, self.rhs)
-
-    def todense(self):
-        return self.lhs @ self.rhs
-
-    def diagonal(self):
-        return np.sum(self.lhs * self.rhs.T, axis=1)
+        return sum(
+            np.einsum('ik,ki->i', L, R) for L, R in self.terms
+        )
 
     def trace(self):
         return self.diagonal().sum()
 
     def quadratic(self, a, b):
-        """Computes a @ X @ b."""
-        return (a @ self.lhs) @ (self.rhs @ b)
+        """``a @ M @ b`` without forming M."""
+        return sum((a @ L) @ (R @ b) for L, R in self.terms)
 
     def quadratic_diag(self, a, b):
-        """Computes diag(a @ X @ b)."""
-        return LATR(a @ self.lhs, self.rhs @ b).diagonal()
+        """``diag(a @ M @ b)`` without forming M."""
+        return sum(
+            np.einsum('ik,ki->i', a @ L, R @ b) for L, R in self.terms
+        )
+
+    def todense(self):
+        return sum(L @ R for L, R in self.terms)
 
 
-class LLT(LATR):
-    r"""Symmetric PSD low-rank matrix :math:`L \cdot L^T` from a spectral
-    decomposition; supports pinv/logdet/cond/power."""
+class Spectral(Factored):
+    """Symmetric PSD factored matrix ``U diag(s^2) U^T``.
 
-    def __init__(self, X, rcond=0, mode='truncate'):
-        if isinstance(X, np.ndarray):
-            U, S, _ = np.linalg.svd(X, full_matrices=False)
-            beta = S.max() * rcond
-            if mode == 'truncate':
-                keep = S >= beta
-                self.U = U[:, keep]
-                self.S = S[keep]
-            elif mode == 'clamp':
-                self.U = U
-                self.S = np.maximum(S, beta)
-            else:
-                raise RuntimeError(
-                    f"Unknown spectral approximation mode '{mode}'."
-                )
-        elif isinstance(X, tuple) and len(X) == 2:
-            self.U, self.S = X
-        self._lhs = self.U * self.S
+    ``U`` is column-orthonormal; ``s`` carries the square roots of the
+    eigenvalues, so ``root = U * s`` satisfies ``M = root @ root.T``.
+    """
+
+    def __init__(self, U, s):
+        self.U = np.asarray(U)
+        self.s = np.asarray(s)
+
+    @classmethod
+    def from_root(cls, X, rcond=0, mode='truncate'):
+        """Spectral form of ``X @ X.T`` from the SVD of X, filtering
+        singular values below ``rcond * max`` ('truncate' drops them,
+        'clamp' raises them to the cutoff)."""
+        U, s, _ = _device_svd(X)
+        floor = s[0] * rcond
+        if mode == 'truncate':
+            keep = s >= floor
+            U, s = U[:, keep], s[keep]
+        elif mode == 'clamp':
+            s = np.maximum(s, floor)
+        else:
+            raise RuntimeError(
+                f"Unknown spectral approximation mode '{mode}'.")
+        return cls(U, s)
 
     @property
-    def lhs(self):
-        return self._lhs
+    def root(self):
+        return self.U * self.s
 
     @property
-    def rhs(self):
-        return self._lhs.T
+    def terms(self):
+        root = self.root
+        return [(root, root.T)]
+
+    @property
+    def T(self):
+        return self
 
     def diagonal(self):
-        return np.sum(self.lhs ** 2, axis=1)
+        return np.einsum('ik,ik->i', self.root, self.root)
 
     def pinv(self):
-        return LLT((self.U, 1 / self.S))
+        return Spectral(self.U, 1.0 / self.s)
 
     def logdet(self):
-        return 2 * np.log(self.S).sum()
+        return 2.0 * float(np.sum(np.log(self.s)))
 
     def cond(self):
-        return (self.S.max() / self.S.min()) ** 2
+        return float((self.s.max() / self.s.min()) ** 2)
 
-    def __pow__(self, exp):
-        return LLT((self.U, self.S ** exp))
+    def __pow__(self, exponent):
+        return Spectral(self.U, self.s ** exponent)
 
 
 def dot(X, Y=None, method='auto', rcond=0, mode='truncate'):
-    r"""Create a low-rank matrix :math:`A \doteq X \cdot Y` ('direct'), or
-    :math:`X X^T` through its SVD ('spectral', Y=None)."""
-    assert method in ('auto', 'direct', 'spectral'), \
-        f'Unknown method {method}'
+    """Factored matrix ``X @ Y`` (two factors) or ``X @ X.T`` through a
+    spectral decomposition (Y omitted)."""
     if Y is None:
-        if method in ('spectral', 'auto'):
-            return LLT(X, rcond=rcond, mode=mode)
-        return LATR(X, X.T)
+        if method == 'direct':
+            return Factored([(X, X.T)])
+        return Spectral.from_root(X, rcond=rcond, mode=mode)
     if method == 'spectral':
         raise RuntimeError(
-            'Spectral approximation only usable when Y is None.'
-        )
-    return LATR(X, Y)
+            'The spectral form requires a symmetric product (Y=None).')
+    return Factored([(X, Y)])
 
 
-def add(A, B):
-    factors = A.factors if isinstance(A, Sum) else [A]
-    factors += B.factors if isinstance(B, Sum) else [B]
-    return Sum(factors)
+def pinvh(A, d, k='auto', rcond=1e-10, mode='truncate', n_iter=32,
+          seed=0):
+    """Pseudoinverse of ``A + diag(d)`` (A factored PSD) as a
+    :class:`Spectral`, keeping the top-k eigenspace.
 
-
-def sub(A, B):
-    factors = A.factors if isinstance(A, Sum) else [A]
-    factors += [-f for f in B.factors] if isinstance(B, Sum) else [-B]
-    return Sum(factors)
-
-
-def matmul(A, B):
-    if isinstance(A, Sum):
-        if isinstance(B, Sum):
-            return Sum([a @ b for a in A.factors for b in B.factors])
-        return Sum([a @ B for a in A.factors])
-    if isinstance(B, Sum):
-        return Sum([A @ b for b in B.factors])
-    if isinstance(B, LATR):
-        return LATR(A.lhs, (A.rhs @ B.lhs) @ B.rhs)
-    return A.lhs @ (A.rhs @ B)
-
-
-def pinvh(A, d, k='auto', rcond=1e-10, mode='truncate'):
-    """Low-rank pseudoinverse of a low-rank symmetric matrix plus diagonal
-    regularization, via ARPACK eigsh on a lazy operator."""
-
-    class MatVecOperator(splin.LinearOperator):
-
-        def __init__(self, A, d):
-            self.A = A
-            self.d = d
-
-        @property
-        def shape(self):
-            return (len(self.d), len(self.d))
-
-        @property
-        def dtype(self):
-            return self.d.dtype
-
-        def _matvec(self, b):
-            return self.A @ b + self.d * b
-
-        def _matmat(self, b):
-            return self.A @ b + self.d[:, None] * b
-
-        def _adjoint(self):
-            return self
-
+    Matrix-free randomized subspace iteration: every step is a tall
+    matmul through A's factors plus a diagonal scaling — O(n k (r + k))
+    per sweep and accelerator-friendly, in contrast to the reference's
+    sequential ARPACK Lanczos (``low_rank.py:214-283``).
+    """
+    n = len(d)
     if k == 'auto':
-        k = A.lhs.shape[1] + np.count_nonzero(d)
-    else:
-        assert isinstance(k, int)
+        k = min(n, sum(L.shape[1] for L, _ in A.terms)
+                + int(np.count_nonzero(d)))
+    assert isinstance(k, (int, np.integer)) and 0 < k <= n
 
-    a, Q = splin.eigsh(MatVecOperator(A, d), k=k)
-    beta = a.max() * rcond
-    keep = a > beta
+    def apply(V):
+        return A @ V + d[:, None] * V
+
+    rng = np.random.default_rng(seed)
+    V = np.linalg.qr(rng.standard_normal((n, k)))[0]
+    for _ in range(n_iter):
+        V = np.linalg.qr(apply(V))[0]
+    # Rayleigh-Ritz on the converged subspace
+    T = V.T @ apply(V)
+    w, S = np.linalg.eigh((T + T.T) / 2)
+    w, Q = w[::-1], (V @ S)[:, ::-1]
+
+    floor = w[0] * rcond
+    above = w > floor
     if mode == 'truncate':
-        a, Q = a[keep], Q[:, keep]
+        w, Q = w[above], Q[:, above]
     elif mode == 'clamp':
-        a = np.where(keep, a, beta)
+        w = np.where(above, w, floor)
     else:
         raise RuntimeError(f"Unknown pseudoinverse mode '{mode}'.")
-    return LLT((Q, a ** -0.5))
+    return Spectral(Q, w ** -0.5)
+
+
+# compatibility aliases for the reference's class names
+def LATR(lhs, rhs):
+    return Factored([(lhs, rhs)])
+
+
+def LLT(X, rcond=0, mode='truncate'):
+    if isinstance(X, tuple):
+        return Spectral(*X)
+    return Spectral.from_root(X, rcond=rcond, mode=mode)
