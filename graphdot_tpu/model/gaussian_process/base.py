@@ -1,22 +1,35 @@
-"""Base class for Gaussian process regression models (reference:
-``graphdot/model/gaussian_process/base.py``)."""
-import itertools as it
+"""Shared foundation of the Gaussian-process models.
+
+TPU-native redesign of the role played by the reference's
+``graphdot/model/gaussian_process/base.py:47-189``: targets are masked and
+standardized on host, Gram matrices arrive from the kernel layer, and all
+likelihood linear algebra executes as jitted JAX programs
+(:mod:`._objectives`) with automatic differentiation supplying the
+Gram-matrix gradients — the hand-written einsum chains of the reference
+are gone.
+"""
 import os
 import pickle
-import warnings
 
 import numpy as np
 from scipy.optimize import minimize
 
-from ...linalg.cholesky import CholSolver
-from ...linalg.spectral import pinvh
 from ...util.printer import markdown as mprint
 
 
+def valid_targets(values):
+    """(mask, finite values) for a target sequence that may contain
+    None / NaN placeholders for unlabeled samples."""
+    flags = np.array(
+        [v is not None and np.isfinite(v) for v in values], dtype=bool)
+    kept = np.array(
+        [v for v, ok in zip(values, flags) if ok], dtype=float)
+    return flags, kept
+
+
 class GaussianProcessRegressorBase:
-    """Shared plumbing: target masking/normalization, Gram assembly with
-    regularization, Cholesky-with-pseudoinverse-fallback inversion,
-    multi-restart hyperparameter optimization, and model pickling."""
+    """Target bookkeeping, Gram assembly, and hyperparameter optimization
+    shared by the GP models."""
 
     def __init__(self, kernel, normalize_y, regularization, kernel_options):
         self.kernel = kernel
@@ -24,145 +37,112 @@ class GaussianProcessRegressorBase:
         self.regularization = regularization
         self.kernel_options = kernel_options
 
+    # -- training data ----------------------------------------------------
+
+    mask = staticmethod(valid_targets)
+
     @property
     def X(self):
-        """The input values of the training set."""
-        try:
-            return self._X
-        except AttributeError:
+        """Training inputs."""
+        if not hasattr(self, '_X'):
             raise AttributeError(
-                'Training data does not exist. Please provide using fit().'
-            )
+                'Training data does not exist. Please provide using fit().')
+        return self._X
 
     @X.setter
-    def X(self, X):
-        self._X = np.asarray(X)
+    def X(self, inputs):
+        self._X = np.asarray(inputs)
 
     @property
     def y(self):
-        """The output/target values of the training set."""
-        try:
-            return self._y * self._ystd + self._ymean
-        except AttributeError:
+        """Training targets (in their original units)."""
+        if not hasattr(self, '_y'):
             raise AttributeError(
-                'Training data does not exist. Please provide using fit().'
-            )
-
-    @staticmethod
-    def mask(iterable):
-        """Boolean mask excluding None/NaN targets, plus the masked
-        values."""
-        mask = np.fromiter(
-            map(lambda i: i is not None and np.isfinite(i), iterable),
-            dtype=np.bool_
-        )
-        masked = np.fromiter(it.compress(iterable, mask), dtype=float)
-        return mask, masked
+                'Training data does not exist. Please provide using fit().')
+        return self._y * self._ystd + self._ymean
 
     @y.setter
-    def y(self, y):
-        self._y_mask, y_masked = self.mask(y)
-        if self.normalize_y is True:
-            self._ymean, self._ystd = y_masked.mean(), y_masked.std()
-            self._y = (y_masked - self._ymean) / self._ystd
+    def y(self, targets):
+        self._y_mask, kept = valid_targets(targets)
+        if self.normalize_y:
+            self._ymean = kept.mean()
+            self._ystd = kept.std()
         else:
-            self._ymean, self._ystd = 0, 1
-            self._y = y_masked
+            self._ymean, self._ystd = 0.0, 1.0
+        self._y = (kept - self._ymean) / self._ystd
 
-    def _regularize(self, K, alpha):
-        if self.regularization in ['+', 'additive']:
-            return K + alpha
-        elif self.regularization in ['*', 'multiplicative']:
-            return K * (1 + alpha)
-        else:
-            raise RuntimeError(
-                f'Unknown regularization method {self.regularization}.'
-            )
+    # -- Gram assembly ------------------------------------------------------
+
+    def _regularize(self, diagonal, alpha):
+        """Apply the configured diagonal regularization rule."""
+        if self.regularization in ('+', 'additive'):
+            return diagonal + alpha
+        if self.regularization in ('*', 'multiplicative'):
+            return diagonal * (1.0 + alpha)
+        raise RuntimeError(
+            f'Unknown regularization method {self.regularization}.')
 
     def _gramian(self, alpha, X, Y=None, kernel=None, jac=False,
                  diag=False):
-        """Kernel matrix between X (and Y), with diagonal regularization
-        when Y is None."""
-        kernel = kernel or self.kernel
-        if Y is None:
-            if diag is True:
-                return self._regularize(
-                    kernel.diag(X, **self.kernel_options), alpha
-                )
-            if jac is True:
-                K, J = kernel(X, eval_gradient=True, **self.kernel_options)
-                K.flat[::len(K) + 1] = self._regularize(
-                    K.flat[::len(K) + 1], alpha
-                )
-                return K, J
-            K = kernel(X, **self.kernel_options)
-            K.flat[::len(K) + 1] = self._regularize(
-                K.flat[::len(K) + 1], alpha
-            )
-            return K
-        else:
-            if diag is True:
+        """Kernel matrix (or diagonal) between X and Y; the training
+        (Y=None) diagonal is regularized by ``alpha``."""
+        kernel = kernel if kernel is not None else self.kernel
+        opts = self.kernel_options
+        grad_opt = {'eval_gradient': True} if jac else {}
+        if Y is not None:
+            if diag:
                 raise ValueError(
-                    'Diagonal Gramian does not exist between two sets.'
-                )
-            if jac is True:
-                return kernel(X, Y, eval_gradient=True,
-                              **self.kernel_options)
-            return kernel(X, Y, **self.kernel_options)
+                    'Diagonal Gramian does not exist between two sets.')
+            return kernel(X, Y, **grad_opt, **opts)
+        if diag:
+            return self._regularize(kernel.diag(X, **opts), alpha)
+        out = kernel(X, **grad_opt, **opts)
+        K = out[0] if jac else out
+        idx = np.diag_indices_from(K)
+        K[idx] = self._regularize(K[idx], alpha)
+        return out
 
-    def _invert(self, K, rcond):
-        try:
-            return self._invert_cholesky(K)
-        except np.linalg.LinAlgError:
-            try:
-                warnings.warn(
-                    'Kernel matrix singular, falling back to pseudoinverse'
-                )
-                return self._invert_pseudoinverse(K, rcond)
-            except np.linalg.LinAlgError:
-                raise np.linalg.LinAlgError(
-                    'The kernel matrix is likely corrupted with NaNs and '
-                    'Infs because a pseudoinverse could not be computed.'
-                )
-
-    def _invert_cholesky(self, K):
-        return CholSolver(K), np.prod(np.linalg.slogdet(K))
-
-    def _invert_pseudoinverse(self, K, rcond):
-        return pinvh(K, rcond=rcond, mode='clamp', return_nlogdet=True)
+    # -- hyperparameter optimization ----------------------------------------
 
     def _hyper_opt(self, method, fun, xgen, tol, verbose):
-        """Multi-restart local optimization over log-scale theta."""
-        opt = None
-        for x in xgen:
+        """Multi-restart local minimization over log-scale theta; returns
+        the best successful result (or the best attempt if none
+        converged)."""
+        attempts = []
+        for x0 in xgen:
             if verbose:
                 mprint.table_start()
-            opt_local = minimize(
-                fun=fun, method=method, x0=x, bounds=self.kernel.bounds,
-                jac=True, tol=tol,
-            )
-            if not opt or (opt_local.success and opt_local.fun < opt.fun):
-                opt = opt_local
-        return opt
+            attempts.append(minimize(
+                fun=fun, x0=x0, method=method, jac=True,
+                bounds=self.kernel.bounds, tol=tol,
+            ))
+        converged = [a for a in attempts if a.success]
+        return min(converged or attempts, key=lambda a: a.fun)
+
+    def _theta_restarts(self, repeat, jitter):
+        start = self.kernel.theta.copy()
+        yield start
+        for _ in range(int(repeat) - 1):
+            yield start + jitter * np.random.randn(len(start))
+
+    # -- persistence ----------------------------------------------------------
 
     def save(self, path, filename='model.pkl', overwrite=False):
-        """Pickle the trained model (without the kernel object; its theta
-        is stored separately, reference ``base.py:150-189``)."""
-        f_model = os.path.join(path, filename)
-        if os.path.isfile(f_model) and not overwrite:
+        """Pickle the model state; the kernel object itself is replaced by
+        its hyperparameter vector (reference ``base.py:150-189``)."""
+        target = os.path.join(path, filename)
+        if os.path.isfile(target) and not overwrite:
             raise RuntimeError(
-                f'Path {f_model} already exists. To overwrite, set '
-                '`overwrite=True`.'
-            )
-        store = self.__dict__.copy()
-        store['theta'] = self.kernel.theta
-        store.pop('kernel', None)
-        pickle.dump(store, open(f_model, 'wb'), protocol=4)
+                f'Path {target} already exists. To overwrite, set '
+                '`overwrite=True`.')
+        state = {k: v for k, v in self.__dict__.items() if k != 'kernel'}
+        state['theta'] = self.kernel.theta
+        with open(target, 'wb') as f:
+            pickle.dump(state, f, protocol=4)
 
     def load(self, path, filename='model.pkl'):
-        """Load a model pickled by :meth:`save`."""
-        f_model = os.path.join(path, filename)
-        store = pickle.load(open(f_model, 'rb'))
-        theta = store.pop('theta')
-        self.__dict__.update(**store)
-        self.kernel.theta = theta
+        """Restore state written by :meth:`save` onto this instance."""
+        with open(os.path.join(path, filename), 'rb') as f:
+            state = pickle.load(f)
+        self.kernel.theta = state.pop('theta')
+        self.__dict__.update(state)
