@@ -1,47 +1,68 @@
-"""Weight functions for Gaussian field models (reference:
-``graphdot/model/gaussian_field/weight.py:8,57,128``)."""
+"""Weight functions for Gaussian field models.
+
+Fills the role of the reference's
+``graphdot/model/gaussian_field/weight.py:8,57,128``. Contract change,
+kept from round 1: gradients are uniformly w.r.t. the **log-scale**
+hyperparameters (the reference mixes linear- and log-scale between
+``RBFOverDistance`` and the GFR losses, masked in its tests by
+theta == log 1 == 0).
+"""
 from abc import ABC, abstractmethod
 import copy
 
 import numpy as np
 
 
+def _gaussian(d, sigma):
+    """exp(-d^2 / 2 sigma^2) and its log-sigma derivative."""
+    w = np.exp(-0.5 * (d / sigma) ** 2)
+    return w, w * (d / sigma) ** 2
+
+
 class Weight(ABC):
+    """A trainable edge-weight function.
+
+    Subclasses expose log-scale hyperparameters by listing the trainable
+    pieces in :meth:`_hyper_parts` as ``(log values, log bounds)`` pairs;
+    ``theta``/``bounds`` concatenate them in order.
+    """
 
     @abstractmethod
     def __call__(self, X, Y=None, eval_gradient=False):
-        """Computes the weight matrix between datasets X and Y (or X with
-        itself when Y is None), optionally with gradients w.r.t. the
-        **log-scale** hyperparameters stacked along the last axis.
+        """Weight matrix between X and Y (or X with itself when Y is
+        None); with ``eval_gradient``, also the jacobian w.r.t. the
+        log-scale hyperparameters stacked along the last axis."""
 
-        Note: the reference implementation mixes linear- and log-scale
-        gradients between ``RBFOverDistance`` and the GFR losses (masked in
-        its tests by theta == log 1 == 0); here the contract is uniformly
-        log-scale."""
-
-    @property
     @abstractmethod
-    def theta(self):
-        """Log-scale hyperparameters as an ndarray."""
+    def _hyper_parts(self):
+        """Ordered [(log values, log bounds)] of trainable pieces."""
 
-    @theta.setter
     @abstractmethod
-    def theta(self, values):
+    def _set_theta(self, values):
         pass
 
     @property
-    @abstractmethod
+    def theta(self):
+        return np.concatenate(
+            [np.atleast_1d(v) for v, _ in self._hyper_parts()])
+
+    @theta.setter
+    def theta(self, values):
+        self._set_theta(np.asarray(values))
+
+    @property
     def bounds(self):
-        """Log-scale hyperparameter bounds as a 2D array."""
+        return np.vstack([
+            np.atleast_2d(b) for _, b in self._hyper_parts()])
 
     def clone_with_theta(self, theta):
-        clone = copy.deepcopy(self)
-        clone.theta = theta
-        return clone
+        twin = copy.deepcopy(self)
+        twin.theta = theta
+        return twin
 
 
 class RBFOverDistance(Weight):
-    """Weights from an RBF applied to a distance matrix.
+    """Gaussian weights over a (trainable) distance metric.
 
     Parameters
     ----------
@@ -61,79 +82,58 @@ class RBFOverDistance(Weight):
         self.metric = metric
         self.mopts = mopts
 
-    def __call__(self, X, Y=None, eval_gradient=False):
-        """If eval_gradient, the returned gradient is w.r.t. the
-        **log-scale** hyperparameters."""
-        Z = (X,) if Y is None else (X, Y)
+    def _hyper_parts(self):
+        return [
+            (np.log(self.sigma), np.log(self.sigma_bounds)),
+            (self.metric.theta, self.metric.bounds),
+        ]
 
-        if eval_gradient is True:
-            D, dD = self.metric(*Z, eval_gradient=True, **self.mopts)
-        else:
-            D = self.metric(*Z, **self.mopts)
-
-        W = np.exp(-0.5 * D ** 2 * self.sigma ** -2)
-        if Y is None:
-            W[np.diag_indices_from(W)] = 0
-        if eval_gradient:
-            # log-scale: d W / d log(sigma) = sigma * d W / d sigma
-            dsigma = D ** 2 * W * self.sigma ** -2
-            # metric gradients dD are linear-scale; chain to log scale
-            dtheta = (-D * W * self.sigma ** -2)[:, :, None] * dD \
-                * np.exp(self.metric.theta)[None, None, :]
-            dW = np.concatenate(
-                [dsigma[:, :, None], dtheta], axis=2
-            )
-            return W, dW
-        else:
-            return W
-
-    @property
-    def theta(self):
-        return np.concatenate((np.log([self.sigma]), self.metric.theta))
-
-    @theta.setter
-    def theta(self, values):
+    def _set_theta(self, values):
         self.sigma = np.exp(values[0])
         self.metric.theta = values[1:]
 
-    @property
-    def bounds(self):
-        return np.vstack((
-            np.log([self.sigma_bounds]),
-            self.metric.bounds
-        ))
+    def __call__(self, X, Y=None, eval_gradient=False):
+        sets = (X,) if Y is None else (X, Y)
+        if not eval_gradient:
+            W, _ = _gaussian(self.metric(*sets, **self.mopts), self.sigma)
+            if Y is None:
+                np.fill_diagonal(W, 0.0)
+            return W
+
+        D, dD = self.metric(*sets, eval_gradient=True, **self.mopts)
+        W, d_log_sigma = _gaussian(D, self.sigma)
+        if Y is None:
+            np.fill_diagonal(W, 0.0)
+        # metric jacobians are linear-scale; chain onto log(metric.theta)
+        d_metric = (
+            (-D * W / self.sigma ** 2)[..., None]
+            * dD * np.exp(self.metric.theta)
+        )
+        return W, np.concatenate(
+            [d_log_sigma[..., None], d_metric], axis=-1)
 
 
 class RBFOverFixedDistance(Weight):
-    """Weights from an optimizable RBF over a fixed, precomputed distance
-    matrix indexed by sample indices."""
+    """Gaussian weights over a fixed, precomputed distance matrix,
+    indexed by integer sample ids; only sigma is trainable."""
 
     def __init__(self, D, sigma, sigma_bounds=(1e-3, 1e3),
                  sticky_cache=False):
         self.sigma = sigma
         self.sigma_bounds = sigma_bounds
-        self.D = D
+        self.D = np.asarray(D)
+
+    def _hyper_parts(self):
+        return [(np.log(self.sigma), np.log(self.sigma_bounds))]
+
+    def _set_theta(self, values):
+        self.sigma = float(np.exp(values[0]))
 
     def __call__(self, X, Y=None, eval_gradient=False):
-        d = self.D[X, :][:, X if Y is None else Y]
-        w = np.exp(-0.5 * d ** 2 * self.sigma ** -2)
+        d = self.D[np.ix_(X, X if Y is None else Y)]
+        W, d_log_sigma = _gaussian(d, self.sigma)
         if Y is None:
-            w[np.diag_indices_from(w)] = 0
+            np.fill_diagonal(W, 0.0)
         if eval_gradient:
-            # log-scale gradient w.r.t. log(sigma)
-            j = d ** 2 * w * self.sigma ** -2
-            return w, np.stack([j], axis=2)
-        else:
-            return w
-
-    @property
-    def theta(self):
-        return np.log([self.sigma])
-
-    @theta.setter
-    def theta(self, values):
-        self.sigma = np.exp(values)[0]
-
-    @property
-    def bounds(self):
-        return np.log([self.sigma_bounds])
+            return W, d_log_sigma[..., None]
+        return W
