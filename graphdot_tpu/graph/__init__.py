@@ -2,14 +2,14 @@
 
 API parity with the reference ``graphdot/graph/__init__.py:40`` (Graph,
 permute, adjacency_matrix, laplacian, has_unified_types, unify_datatype,
-from_networkx/from_ase/from_pymatgen/from_rdkit/to_networkx), rebuilt for a
-TPU-native pipeline: graphs are plain host-side column frames; the padded
-struct-of-arrays device layout lives in :mod:`graphdot_tpu.graph.batch`
-(the OctileGraph analogue) and is cached per graph in ``graph.cookie``.
+from_networkx/from_ase/from_pymatgen/from_rdkit/to_networkx), rebuilt for
+a TPU-native pipeline: graphs are plain host-side column frames; the
+padded struct-of-arrays device layout lives in
+:mod:`graphdot_tpu.graph.batch` (the OctileGraph analogue) and is cached
+per graph in ``graph.cookie``.
 """
 import copy as cp
 import itertools as it
-import warnings
 
 import numpy as np
 import scipy.sparse
@@ -22,43 +22,81 @@ from ._to_networkx import _to_networkx
 
 __all__ = ['Graph']
 
+_SEQUENCE_TYPES = (list, tuple, np.ndarray)
 
-def _from_dict(d):
-    if isinstance(d, DataFrame):
-        return d
-    else:
-        return DataFrame(d)
+
+def _as_frame(columns):
+    return columns if isinstance(columns, DataFrame) else \
+        DataFrame(columns)
+
+
+def _shared_columns(graphs, component):
+    """The common column set of one component across graphs; raises if
+    any graph disagrees."""
+    frames = [getattr(g, component) for g in graphs]
+    wanted = set(frames[0].columns)
+    for g, frame in zip(graphs, frames):
+        if set(frame.columns) != wanted:
+            raise TypeError(
+                f'Graph {g} with {component} features '
+                f'{set(frame.columns)} does not match the other graphs.')
+    return frames, wanted
+
+
+def _coerce_column(frames, key):
+    """Cast one attribute column to a common concrete type across a list
+    of frames (scalars via astype; ragged sequences element-wise)."""
+    kinds = [f[key].concrete_type for f in frames]
+    target = common_min_type.of_types(kinds)
+    if target is None:
+        target = common_min_type.of_types(kinds, coerce=False)
+    if target is None:
+        raise TypeError(
+            f'Cannot unify attribute {key} containing mixed object types')
+    if _is_scalar_dtype(target):
+        for f in frames:
+            f[key] = f[key].astype(target)
+    elif target in _SEQUENCE_TYPES:
+        scalar = common_min_type.of_values(
+            it.chain.from_iterable(
+                it.chain.from_iterable(f[key] for f in frames)))
+        if scalar is None:
+            raise TypeError(
+                f'Cannot find a common type for elements in {key}.')
+        for f in frames:
+            f[key] = [np.asarray(seq, dtype=scalar) for seq in f[key]]
 
 
 class Graph:
-    """Stores a graph as node and edge attribute frames.
+    """A graph as node and edge attribute frames.
 
     Parameters
     ----------
     nodes: dataframe
-        each row represents a node; must contain column '!i'.
+        One row per node; must contain column '!i'.
     edges: dataframe
-        each row represents an edge; must contain columns '!i' and '!j',
-        and optionally '!w' for edge weights.
+        One row per edge; must contain columns '!i' and '!j', and
+        optionally '!w' for edge weights.
     title: str
-        a unique identifier of the graph.
+        A unique identifier of the graph.
     """
 
     def __init__(self, nodes, edges, title=''):
         self.title = str(title)
-        self.nodes = _from_dict(nodes)
-        self.edges = _from_dict(edges)
-        assert '!i' in self.nodes
-        assert '!i' in self.edges and '!j' in self.edges
+        self.nodes = _as_frame(nodes)
+        self.edges = _as_frame(edges)
+        for frame, required in ((self.nodes, '!i'), (self.edges, '!i'),
+                                (self.edges, '!j')):
+            assert required in frame
 
     def __repr__(self):
-        return '{}(nodes={}, edges={}, title={})'.format(
-            type(self).__name__, repr(self.nodes), repr(self.edges),
-            repr(self.title)
-        )
+        return (f'{type(self).__name__}(nodes={self.nodes!r}, '
+                f'edges={self.edges!r}, title={self.title!r})')
 
     @property
     def cookie(self):
+        """Per-graph cache of derived device layouts, invalidated on
+        mutation."""
         try:
             return self.__cookie
         except AttributeError:
@@ -66,115 +104,82 @@ class Graph:
             return self.__cookie
 
     def copy(self, deep=False):
-        """Make a copy of an existing graph."""
-        g = self.__class__(
+        """A (shallow by default) copy of the graph."""
+        twin = type(self)(
             nodes=self.nodes.copy(deep=deep),
             edges=self.edges.copy(deep=deep),
-            title=self.title
-        )
-        for key, val in self.__dict__.items():
-            if key not in ['nodes', 'edges', 'title']:
-                g.__dict__[key] = cp.deepcopy(val) if deep else val
-        return g
+            title=self.title)
+        extras = {
+            key: value for key, value in self.__dict__.items()
+            if key not in ('nodes', 'edges', 'title')
+        }
+        twin.__dict__.update(cp.deepcopy(extras) if deep else extras)
+        return twin
 
     def permute(self, perm, inplace=False):
-        """Rearrange the node indices of a graph by a permutation array."""
+        """Relabel the nodes by a permutation array (``perm[new] =
+        old``)."""
+        target = self if inplace else self.copy(deep=True)
         if inplace:
-            g = self
             self.cookie.clear()
-        else:
-            g = self.copy(deep=True)
-
-        iperm = np.argsort(perm)
-        g.nodes['!i'][:] = iperm[g.nodes['!i']]
-        g.edges['!i'][:] = iperm[g.edges['!i']]
-        g.edges['!j'][:] = iperm[g.edges['!j']]
-        return g
+        relabel = np.empty(len(perm), dtype=np.intp)
+        relabel[np.asarray(perm)] = np.arange(len(perm))
+        for frame, cols in ((target.nodes, ('!i',)),
+                            (target.edges, ('!i', '!j'))):
+            for c in cols:
+                frame[c][:] = relabel[frame[c]]
+        return target
 
     @property
     def adjacency_matrix(self):
-        """The (weighted) adjacency matrix as a sparse matrix."""
-        N = len(self.nodes)
-        i = np.asarray(self.edges['!i'])
-        j = np.asarray(self.edges['!j'])
-        w = (np.asarray(self.edges['!w']) if '!w' in self.edges
-             else np.ones_like(i))
-        A = scipy.sparse.coo_matrix((w, (i, j)), shape=(N, N))
-        return A + A.T
+        """The (weighted) symmetric adjacency matrix, sparse."""
+        n = len(self.nodes)
+        src = np.asarray(self.edges['!i'])
+        dst = np.asarray(self.edges['!j'])
+        w = np.asarray(self.edges['!w']) if '!w' in self.edges \
+            else np.ones_like(src)
+        return scipy.sparse.coo_matrix(
+            (np.concatenate([w, w]),
+             (np.concatenate([src, dst]), np.concatenate([dst, src]))),
+            shape=(n, n))
 
     @property
     def laplacian(self):
-        """The graph Laplacian as a sparse matrix."""
+        """The graph Laplacian D - A, sparse."""
         A = self.adjacency_matrix
-        D = np.asarray(A.sum(axis=0)).flatten()
-        return scipy.sparse.diags(D, 0) - A
+        degree = np.ravel(A.sum(axis=0))
+        return scipy.sparse.diags(degree, 0) - A
 
     @staticmethod
     def has_unified_types(graphs):
-        """Check if all graphs have the same set of nodal/edge features."""
-        first = next(iter(graphs))
-        node_t = first.nodes.rowtype()
-        edge_t = first.edges.rowtype()
-        for second in graphs:
-            if second.nodes.rowtype() != node_t:
-                return ('nodes', first, second)
-            elif second.edges.rowtype() != edge_t:
-                return ('edges', first, second)
+        """True if every graph shares the node/edge feature layout of the
+        first; otherwise ('nodes'|'edges', first, offender)."""
+        graphs = list(graphs)
+        head, rest = graphs[0], graphs[1:]
+        layouts = {
+            c: getattr(head, c).rowtype() for c in ('nodes', 'edges')
+        }
+        for g in rest:
+            for component, expected in layouts.items():
+                if getattr(g, component).rowtype() != expected:
+                    return (component, head, g)
         return True
 
     @classmethod
     def unify_datatype(cls, graphs, inplace=False):
-        """Ensure that each attribute has the same data type across graphs."""
+        """Cast every attribute to one data type across all graphs."""
         for g in graphs:
             g.cookie.clear()
-        if inplace is not True:
+        if not inplace:
             graphs = [g.copy(deep=False) for g in graphs]
-
-        features = {}
-        for component in ['nodes', 'edges']:
-            first = None
-            for g in graphs:
-                second = set(getattr(g, component).columns)
-                first = first or second
-                if second != first:
-                    raise TypeError(
-                        f'Graph {g} with node features {second} '
-                        'does not match with the other graphs.'
-                    )
-            features[component] = first
-
-        for component in ['nodes', 'edges']:
-            group = [getattr(g, component) for g in graphs]
-            for key in features[component]:
-                types = [g[key].concrete_type for g in group]
-                t = common_min_type.of_types(types)
-                if t is None:
-                    t = common_min_type.of_types(types, coerce=False)
-                if t is None:
-                    raise TypeError(
-                        f'Cannot unify attribute {key} containing mixed '
-                        'object types'
-                    )
-                if _is_scalar_dtype(t):
-                    for g in group:
-                        g[key] = g[key].astype(t)
-                elif t in [list, tuple, np.ndarray]:
-                    t_sub = common_min_type.of_values(
-                        it.chain.from_iterable(
-                            it.chain.from_iterable([g[key] for g in group])
-                        )
-                    )
-                    if t_sub is None:
-                        raise TypeError(
-                            f'Cannot find a common type for elements in '
-                            f'{key}.'
-                        )
-                    for g in group:
-                        g[key] = [np.array(seq, dtype=t_sub) for seq in
-                                  g[key]]
-
-        if inplace is not True:
+        for component in ('nodes', 'edges'):
+            frames, columns = _shared_columns(graphs, component)
+            for key in columns:
+                _coerce_column(frames, key)
+        if not inplace:
             return graphs
+
+    # -- converters ---------------------------------------------------------
 
     @classmethod
     def from_networkx(cls, graph, weight=None):
@@ -198,8 +203,7 @@ class Graph:
     def from_smiles(cls, smiles):
         """DEPRECATED and replaced by from_rdkit."""
         raise RuntimeError(
-            'from_smiles has been removed, use from_rdkit instead.'
-        )
+            'from_smiles has been removed, use from_rdkit instead.')
 
     @classmethod
     def from_rdkit(cls, mol, title=None, bond_type='order',
@@ -211,6 +215,6 @@ class Graph:
                            set_ring_stereo=set_ring_stereo)
 
     def to_networkx(self):
-        """Convert the graph to a NetworkX ``Graph``, copying node and edge
+        """Convert to a NetworkX ``Graph`` with all node and edge
         attributes."""
         return _to_networkx(self)

@@ -4,8 +4,10 @@
 The reference needs a dedicated 408-line CUDA kernel because its solver
 only materializes what each thread block computes; here the TPU solver
 already returns full nodal similarity matrices per pair, so the maximin
-reduction (kernel-induced distance -> row/col min -> max) and the
-hotspot-restricted gradient become a few lines of numpy post-processing.
+reduction (kernel-induced distance -> row/col min -> max), the hotspot
+tie-breaking, and the hotspot-restricted gradient are *batched masked
+reductions* over all pairs of a padded-shape group at once — no per-pair
+Python loop (round-3 rewrite of the round-2 host loop).
 """
 import numpy as np
 
@@ -37,6 +39,52 @@ class MaxiMin(MarginalizedGraphKernel):
             np.maximum(0.0, 1.0 - k12 / np.sqrt(k1 * k2))
         )
 
+    def _reduce_block(self, ks, k1, k2, n1, n2):
+        """Batched maximin reduction over a stacked block of pairs.
+
+        Parameters: ks (P, a, b) nodal cross similarities; k1 (P, a) and
+        k2 (P, b) padded self similarities; n1, n2 (P,) valid node counts.
+        Returns (dh, i1, i2): the maximin distance and its hotspot node
+        pair per stacked pair, tie-broken to the largest flat index like
+        the reference's atomicMax.
+        """
+        P, a, b = ks.shape
+        rows = np.arange(a)[None, :] < n1[:, None]
+        cols = np.arange(b)[None, :] < n2[:, None]
+        valid = rows[:, :, None] & cols[:, None, :]
+
+        D = self._induced_distance(ks, k1[:, :, None], k2[:, None, :])
+        D_masked = np.where(valid, D, np.inf)
+        to_rows = np.where(rows, D_masked.min(axis=2), -np.inf).max(axis=1)
+        to_cols = np.where(cols, D_masked.min(axis=1), -np.inf).max(axis=1)
+        dh = np.maximum(to_rows, to_cols)
+
+        flat = (
+            np.arange(a)[None, :, None] * n2[:, None, None]
+            + np.arange(b)[None, None, :]
+        )
+        at_max = (D == dh[:, None, None]) & valid
+        hot = np.where(at_max, flat, -1).reshape(P, -1).max(axis=1)
+        hot = np.maximum(hot, 0)
+        return dh, hot // n2, hot % n2
+
+    def _hotspot_gradient(self, ks, dks, k1, k2, dk1, dk2, dh, i1, i2):
+        """Analytic gradient of the maximin distance, evaluated only at
+        the hotspot node pair of each stacked pair (the reference
+        evaluates FD gradients there, ``_backend.cu:190-403``)."""
+        P = len(dh)
+        rows = np.arange(P)
+        k12h = ks[rows, i1, i2]
+        k1h, k2h = k1[rows, i1], k2[rows, i2]
+        dk12h = dks[rows, i1, i2, :]
+        geo = np.sqrt(k1h * k2h)
+        d_ratio = (
+            dk12h / geo[:, None]
+            - (0.5 * k12h / geo ** 3)[:, None]
+            * (dk1[rows, i1] * k2h[:, None] + k1h[:, None] * dk2[rows, i2])
+        )
+        return -d_ratio * (0.5 / (dh + self._grad_eps))[:, None]
+
     def __call__(self, X, Y=None, eval_gradient=False, lmin=0,
                  return_hotspot=False, timing=False):
         """Computes the distance matrix, optionally the hotspot node-pair
@@ -63,6 +111,8 @@ class MaxiMin(MarginalizedGraphKernel):
         nX = len(X)
         nY = len(Y) if Y is not None else nX
         sizes = np.array([len(g.nodes) for g in all_graphs])
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        n_max = sizes.max()
 
         timer.tic('nodal self similarities')
         diag = self.diag(
@@ -71,7 +121,15 @@ class MaxiMin(MarginalizedGraphKernel):
         )
         if eval_gradient:
             diag, ddiag = diag
-        starts = np.concatenate([[0], np.cumsum(sizes)])
+        # per-graph padded views of the ragged nodal self-similarities
+        # (pad with ones so the masked-out induced distances stay finite)
+        k_self = np.ones((len(all_graphs), n_max))
+        for g, (lo, n) in enumerate(zip(starts, sizes)):
+            k_self[g, :n] = diag[lo:lo + n]
+        if eval_gradient:
+            dk_self = np.zeros((len(all_graphs), n_max, ddiag.shape[-1]))
+            for g, (lo, n) in enumerate(zip(starts, sizes)):
+                dk_self[g, :n] = ddiag[lo:lo + n]
         timer.toc('nodal self similarities')
 
         timer.tic('nodal cross similarities')
@@ -92,50 +150,50 @@ class MaxiMin(MarginalizedGraphKernel):
         timer.tic('maximin reduction')
         distance = np.zeros((nX, nY), dtype=np.float64)
         hotspot = np.full((nX, nY), -1, dtype=np.int64)
-        n_dims = self.n_dims
         gradient = (
-            np.zeros((nX, nY, n_dims)) if eval_gradient else None
+            np.zeros((nX, nY, self.n_dims)) if eval_gradient else None
         )
 
-        for p, (gi, gj) in enumerate(zip(i_jobs, j_jobs)):
-            ni, nj = sizes[gi], sizes[gj]
-            k12 = raw[p][:ni, :nj]
-            k1 = diag[starts[gi]:starts[gi] + ni]
-            k2 = diag[starts[gj]:starts[gj] + nj]
-            D = self._induced_distance(k12, k1[:, None], k2[None, :])
-            d12 = D.min(axis=1)
-            d21 = D.min(axis=0)
-            dh = max(d12.max(), d21.max())
-            # largest flat index attaining the maximin distance (mirrors
-            # the reference's atomicMax tie-breaking)
-            cand = np.argwhere(D == dh)
-            if len(cand):
-                i1, i2 = cand[np.argmax(cand[:, 0] * nj + cand[:, 1])]
-            else:
-                i1 = i2 = 0
+        # group jobs by padded block shape, reduce each group at once
+        by_shape = {}
+        for p in range(len(i_jobs)):
+            by_shape.setdefault(raw[p].shape, []).append(p)
+
+        def fit_width(M, width, fill):
+            """Crop or pad the trailing node axis of a padded view."""
+            if M.shape[1] >= width:
+                return M[:, :width]
+            out = np.full((len(M), width) + M.shape[2:], fill, M.dtype)
+            out[:, :M.shape[1]] = M
+            return out
+
+        for shape, ps in by_shape.items():
+            ps = np.asarray(ps)
+            gi, gj = i_jobs[ps], j_jobs[ps]
+            n1, n2 = sizes[gi], sizes[gj]
+            ks = np.stack([np.asarray(raw[p], dtype=np.float64)
+                           for p in ps])
+            a, b = shape[:2]
+            k1 = fit_width(k_self[gi], a, 1.0)
+            k2 = fit_width(k_self[gj], b, 1.0)
+            dh, i1, i2 = self._reduce_block(ks, k1, k2, n1, n2)
 
             col = gj - nX if not symmetric else gj
             distance[gi, col] = dh
-            hotspot[gi, col] = i1 * nj + i2
-            if symmetric and gi != gj:
-                distance[gj, gi] = dh
-                hotspot[gj, gi] = i2 * ni + i1
-
+            hotspot[gi, col] = i1 * n2 + i2
             if eval_gradient:
-                dk12 = raw_grad[p][i1, i2, :]
-                dk1 = ddiag[starts[gi] + i1]
-                dk2 = ddiag[starts[gj] + i2]
-                k12h = k12[i1, i2]
-                k1h, k2h = k1[i1], k2[i2]
-                du = (
-                    dk12 / np.sqrt(k1h * k2h)
-                    - 0.5 * k12h * (k1h * k2h) ** -1.5
-                    * (dk1 * k2h + k1h * dk2)
-                )
-                grad = -du * (0.5 / (dh + self._grad_eps))
+                dks = np.stack([raw_grad[p] for p in ps])
+                grad = self._hotspot_gradient(
+                    ks, dks, k1, k2,
+                    fit_width(dk_self[gi], a, 0.0),
+                    fit_width(dk_self[gj], b, 0.0), dh, i1, i2)
                 gradient[gi, col] = grad
-                if symmetric and gi != gj:
-                    gradient[gj, gi] = grad
+            if symmetric:
+                off = gi != gj
+                distance[gj[off], gi[off]] = dh[off]
+                hotspot[gj[off], gi[off]] = (i2 * n1 + i1)[off]
+                if eval_gradient:
+                    gradient[gj[off], gi[off]] = grad[off]
         timer.toc('maximin reduction')
 
         if timing:
