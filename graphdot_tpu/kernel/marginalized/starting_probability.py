@@ -16,8 +16,8 @@ from ...util.pretty_tuple import pretty_tuple
 
 
 class StartingProbability(ABC):
-    """Assigns non-negative starting probabilities to each node of a graph.
-    The probabilities do not have to sum to 1."""
+    """Assigns non-negative starting probabilities to each node of a
+    graph; the probabilities do not have to sum to 1."""
 
     @abstractmethod
     def __call__(self, nodes):
@@ -56,7 +56,7 @@ class StartingProbability(ABC):
 
 
 class Uniform(StartingProbability):
-    """Assigns all nodes the same starting probability.
+    """The same trainable starting probability on every node.
 
     Parameters
     ----------
@@ -67,13 +67,14 @@ class Uniform(StartingProbability):
     """
 
     def __init__(self, p, p_bounds=(1e-3, 1e3)):
-        assert (isinstance(p_bounds, tuple) and len(p_bounds) == 2) or \
-            p_bounds == 'fixed'
+        if p_bounds != 'fixed':
+            lo, hi = p_bounds  # must be a 2-tuple
         self.p = p
         self.p_bounds = p_bounds
 
     def __call__(self, nodes):
-        return self.p * np.ones(len(nodes)), np.ones((1, len(nodes)))
+        count = len(nodes)
+        return np.full(count, self.p), np.ones((1, count))
 
     def apply(self, theta, node_mask, p_fixed=None):
         return theta[0] * node_mask
@@ -84,7 +85,7 @@ class Uniform(StartingProbability):
 
     @theta.setter
     def theta(self, t):
-        self.p = t[0]
+        (self.p,) = t
 
     @property
     def bounds(self):
@@ -92,9 +93,8 @@ class Uniform(StartingProbability):
 
 
 class Adhoc(StartingProbability):
-    """Wraps a callable that produces per-node starting probabilities from
-    a node dataframe. Ad-hoc starting probabilities carry no trainable
-    hyperparameters.
+    """Fixed (untrainable) per-node starting probabilities from a
+    user-supplied callable over the node dataframe.
 
     Parameters
     ----------
@@ -115,18 +115,14 @@ class Adhoc(StartingProbability):
     def apply(self, theta, node_mask, p_fixed=None):
         if p_fixed is None:
             raise ValueError(
-                'Adhoc starting probabilities must be precomputed host-side'
-            )
+                'Adhoc starting probabilities must be precomputed '
+                'host-side')
         return jnp.asarray(p_fixed) * node_mask
 
-    @property
-    def theta(self):
-        return tuple()
+    theta = property(lambda self: tuple())
 
     @theta.setter
     def theta(self, t):
         pass
 
-    @property
-    def bounds(self):
-        return tuple()
+    bounds = property(lambda self: tuple())

@@ -5,6 +5,11 @@ import numpy as np
 from ..util.pretty_tuple import pretty_tuple
 from ._base import MicroKernel
 
+_REDUCTIONS = {
+    '+': ('Additive', np.add),
+    '*': ('Product', np.multiply),
+}
+
 
 def Composite(oper, **kw_kernels):
     r"""Combines microkernels on individual features with a reduction
@@ -18,61 +23,46 @@ def Composite(oper, **kw_kernels):
         '+' or '*' (limited by positive-definiteness requirements).
     kw_kernels: dict of attribute=kernel pairs
     """
-    oplib = {
-        '+': dict(
-            ufunc=np.add,
-            jfunc=lambda F, f, j: j,
-            opname='Additive',
-        ),
-        '*': dict(
-            ufunc=np.multiply,
-            jfunc=lambda F, f, j: F / f * j,
-            opname='Product',
-        ),
-    }
-
-    if oper not in oplib:
+    if oper not in _REDUCTIONS:
         raise ValueError(f'Invalid reduction operator {repr(oper)}.')
 
     class CompositeKernel(MicroKernel):
 
-        @property
-        def name(self):
-            return 'Composite'
+        name = property(lambda self: 'Composite')
+        opname = property(lambda self: _REDUCTIONS[self.opstr][0])
 
-        @property
-        def opname(self):
-            return self._opname
-
-        def __init__(self, opstr, ufunc, jfunc, opname, **kw_kernels):
+        def __init__(self, opstr, **kw_kernels):
             self.opstr = opstr
-            self.ufunc = ufunc
-            self.jfunc = jfunc
-            self._opname = opname
+            self.ufunc = _REDUCTIONS[opstr][1]
             self.kw_kernels = kw_kernels
 
         def __repr__(self):
-            kwexpr = ', '.join(
-                f'{k}={repr(K)}' for k, K in self.kw_kernels.items()
-            )
-            return f'{self.name}({repr(self.opstr)}, {kwexpr})'
+            parts = [repr(self.opstr)] + [
+                f'{key}={child!r}'
+                for key, child in self.kw_kernels.items()
+            ]
+            return f"{self.name}({', '.join(parts)})"
 
         def __call__(self, X, Y, jac=False):
-            if jac is True:
-                F, J = list(
-                    zip(*[kernel(X[key], Y[key], True)
-                          for key, kernel in self.kw_kernels.items()])
-                )
-                S = self.ufunc.reduce(F)
-                jacobian = np.array([
-                    self.jfunc(S, f, j)
-                    for i, f in enumerate(F) for j in J[i]
-                ])
-                return S, jacobian
-            else:
-                return self.ufunc.reduce([
-                    f(X[k], Y[k]) for k, f in self.kw_kernels.items()
-                ])
+            values = []
+            jacobians = []
+            for key, child in self.kw_kernels.items():
+                if jac:
+                    f, dfs = child(X[key], Y[key], True)
+                    jacobians.append((f, dfs))
+                else:
+                    f = child(X[key], Y[key])
+                values.append(f)
+            total = self.ufunc.reduce(values)
+            if not jac:
+                return total
+            # product rule: each child's jacobian scales by the product
+            # of the remaining factors (identity for '+')
+            chain = []
+            for f, dfs in jacobians:
+                factor = total / f if self.opstr == '*' else 1.0
+                chain.extend(factor * df for df in dfs)
+            return total, np.asarray(chain)
 
         @property
         def n_theta(self):
@@ -81,47 +71,34 @@ def Composite(oper, **kw_kernels):
         def apply(self, theta, X, Y):
             out = None
             offset = 0
-            for key, kernel in self.kw_kernels.items():
-                t = theta[offset:offset + kernel.n_theta]
-                offset += kernel.n_theta
-                val = kernel.apply(t, X[key], Y[key])
-                if out is None:
-                    out = val
-                elif self.opstr == '+':
-                    out = out + val
-                else:
-                    out = out * val
+            for key, child in self.kw_kernels.items():
+                t = theta[offset:offset + child.n_theta]
+                offset += child.n_theta
+                piece = child.apply(t, X[key], Y[key])
+                out = piece if out is None else (
+                    out + piece if self.opstr == '+' else out * piece)
             return out
 
-        @property
-        def theta(self):
-            return pretty_tuple(
-                self.name,
-                self.kw_kernels.keys()
-            )(*[k.theta for k in self.kw_kernels.values()])
+        def _gather(self, attr):
+            return pretty_tuple(self.name, self.kw_kernels.keys())(
+                *[getattr(k, attr) for k in self.kw_kernels.values()])
+
+        theta = property(lambda self: self._gather('theta'))
 
         @theta.setter
         def theta(self, seq):
-            for kernel, value in zip(self.kw_kernels.values(), seq):
-                kernel.theta = value
+            for child, value in zip(self.kw_kernels.values(), seq):
+                child.theta = value
 
-        @property
-        def bounds(self):
-            return pretty_tuple(
-                self.name,
-                self.kw_kernels.keys()
-            )(*[k.bounds for k in self.kw_kernels.values()])
+        bounds = property(lambda self: self._gather('bounds'))
 
         @property
         def minmax(self):
-            return tuple(self.ufunc.reduce(
-                [k.minmax for k in self.kw_kernels.values()], axis=0
-            ))
+            spans = [k.minmax for k in self.kw_kernels.values()]
+            return tuple(self.ufunc.reduce(spans, axis=0))
 
     for key in kw_kernels:
         setattr(CompositeKernel, key,
                 property(lambda self, key=key: self.kw_kernels[key]))
 
-    opts = dict(oplib[oper])
-    opts.pop('jgen', None)
-    return CompositeKernel(oper, **opts, **kw_kernels)
+    return CompositeKernel(oper, **kw_kernels)

@@ -26,23 +26,14 @@ def Convolution(kernel, mean=True):
             self.mean = mean
 
         def __call__(self, X, Y, jac=False):
-            if jac is True:
-                Fxy, Jxy = list(zip(*[
-                    self.kernel(x, y, jac=True) for x in X for y in Y
-                ]))
-                if self.mean:
-                    return np.mean(Fxy), np.mean(Jxy, axis=0)
-                else:
-                    return np.sum(Fxy), np.sum(Jxy, axis=0)
-            else:
-                if self.mean:
-                    return np.mean([
-                        self.kernel(x, y) for x in X for y in Y
-                    ])
-                else:
-                    return np.sum([
-                        self.kernel(x, y) for x in X for y in Y
-                    ])
+            reduce = np.mean if self.mean else np.sum
+            if not jac:
+                return reduce(
+                    [self.kernel(x, y) for x in X for y in Y])
+            pairs = [self.kernel(x, y, jac=True) for x in X for y in Y]
+            values = reduce([f for f, _ in pairs])
+            grads = reduce([df for _, df in pairs], axis=0)
+            return values, grads
 
         def __repr__(self):
             return f'{self.name}({repr(self.kernel)})'

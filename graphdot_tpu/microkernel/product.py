@@ -9,38 +9,23 @@ class Product(MicroKernel):
     """Direct product between features, :math:`k(x, y) = x y`; used for
     edge weights."""
 
-    @property
-    def name(self):
-        return 'Product'
+    name = property(lambda self: 'Product')
 
     def __call__(self, x1, x2, jac=False):
-        if jac is True:
-            return x1 * x2, np.array([])
-        else:
-            return x1 * x2
+        value = x1 * x2
+        return (value, np.empty(0)) if jac else value
 
     def __repr__(self):
         return f'{self.name}()'
 
-    @property
-    def n_theta(self):
-        return 0
-
-    def apply(self, theta, X, Y):
-        return X * Y
-
-    @property
-    def theta(self):
-        return tuple()
+    n_theta = property(lambda self: 0)
+    theta = property(lambda self: tuple())
+    bounds = property(lambda self: tuple())
+    minmax = property(lambda self: (None, None))
 
     @theta.setter
     def theta(self, seq):
         pass
 
-    @property
-    def bounds(self):
-        return tuple()
-
-    @property
-    def minmax(self):
-        return (None, None)
+    def apply(self, theta, X, Y):
+        return X * Y

@@ -1,44 +1,43 @@
-"""Utilities: tag-based Timer (reference: ``graphdot/util/__init__.py:19``)."""
+"""Utilities: tag-based Timer (fills the role of the reference's
+``graphdot/util/__init__.py:19``, redesigned to accumulate repeated
+phases)."""
 import time
-from collections import OrderedDict
 
 from .compile_cache import enable_compilation_cache  # noqa: F401
 
-
-def add_classmethod(cls, override=False):
-    def decorate(func):
-        if override is not True and hasattr(cls, func.__name__):
-            raise RuntimeError(
-                'Class %s already has a method named %s'
-                % (repr(cls), func.__name__)
-            )
-        clsm = classmethod(func)
-        clsm.__doc__ = 'Add-on classmethod of %s\n\n%s' % (cls, func.__doc__)
-        setattr(cls, func.__name__, clsm)
-        return clsm
-    return decorate
+_UNITS = {'s': 1.0, 'ms': 1e3, 'us': 1e6, 'ns': 1e9}
 
 
 class Timer:
-    """Tag-based tic/toc timer used to report per-phase timings."""
+    """Tag-based tic/toc timer for per-phase wall-clock reports.
+
+    Repeated tic/toc cycles on the same tag accumulate, so a phase inside
+    a loop reports its total.
+    """
 
     def __init__(self):
         self.reset()
 
     def reset(self):
-        self.t = OrderedDict()
-        self.dt = OrderedDict()
+        self._open = {}
+        self._elapsed = {}
 
     def tic(self, tag):
-        self.t[tag] = time.perf_counter()
+        self._open[tag] = time.perf_counter()
 
     def toc(self, tag):
-        self.dt[tag] = time.perf_counter() - self.t[tag]
-        del self.t[tag]
+        delta = time.perf_counter() - self._open.pop(tag)
+        self._elapsed[tag] = self._elapsed.get(tag, 0.0) + delta
+
+    @property
+    def dt(self):
+        """Accumulated durations by tag (seconds)."""
+        return dict(self._elapsed)
 
     def report(self, unit='s'):
-        scale = {'s': 1.0, 'ms': 1e3, 'us': 1e6, 'ns': 1e9}.get(unit)
-        if scale is None:
-            raise ValueError('Unknown unit %s' % unit)
-        for tag, dt in self.dt.items():
-            print('%9.1f %s on %s' % (dt * scale, unit, tag))
+        try:
+            scale = _UNITS[unit]
+        except KeyError:
+            raise ValueError(f'Unknown unit {unit}')
+        for tag, elapsed in self._elapsed.items():
+            print(f'{elapsed * scale:9.1f} {unit} on {tag}')
