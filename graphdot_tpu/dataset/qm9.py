@@ -1,4 +1,5 @@
-"""QM9 dataset loader (reference: ``graphdot/dataset/qm9.py:12``)."""
+"""QM9 dataset loader (fills the role of the reference's
+``graphdot/dataset/qm9.py:12``)."""
 import io
 import tarfile
 
@@ -7,12 +8,38 @@ import pandas as pd
 
 from ._get import get
 
-_COLUMNS = [
-    'id', 'A', 'B', 'C', 'mu', 'alpha', 'e_HOMO', 'e_LUMO', 'e_gap',
-    'R2', 'zpve', 'U0', 'U', 'H', 'G', 'Cv', 'symbols', 'xyz',
-    'charges_mulliken', 'freq', 'smiles_gdb', 'smiles_opt',
-    'inchi_gdb', 'inchi_opt'
-]
+_SCALARS = ['A', 'B', 'C', 'mu', 'alpha', 'e_HOMO', 'e_LUMO', 'e_gap',
+            'R2', 'zpve', 'U0', 'U', 'H', 'G', 'Cv']
+
+
+def _parse_record(text):
+    """One extended-XYZ record of the GDB-9 archive -> property dict.
+
+    Layout per Ramakrishnan et al. 2014: line 0 atom count; line 1 the
+    'gdb <id> <15 scalar properties>' tag line; then one
+    'symbol x y z mulliken' line per atom; harmonic frequencies; SMILES
+    (GDB + optimized); InChI (GDB + optimized).
+    """
+    lines = text.replace('*^', 'E').split('\n')
+    count = int(lines[0])
+    tag = lines[1][4:].strip().split('\t')
+    record = {'id': int(tag[0])}
+    record.update(zip(_SCALARS, map(float, tag[1:])))
+
+    table = [row.split('\t') for row in lines[2:count + 2]]
+    record['symbols'] = tuple(row[0] for row in table)
+    record['xyz'] = [
+        [float(v) for v in row[1:4]] for row in table
+    ]
+    record['charges_mulliken'] = tuple(row[4] for row in table)
+    record['freq'] = [
+        float(v) for v in lines[count + 2].strip().split('\t')
+    ]
+    record['smiles_gdb'], record['smiles_opt'] = \
+        lines[count + 3].strip().split('\t')
+    record['inchi_gdb'], record['inchi_opt'] = \
+        lines[count + 4].strip().split('\t')
+    return record
 
 
 def QM9(download_url='https://ndownloader.figshare.com/files/3195389',
@@ -21,43 +48,23 @@ def QM9(download_url='https://ndownloader.figshare.com/files/3195389',
     """Quantum chemistry structures and properties of ~134k molecules
     (Ramakrishnan et al., Scientific Data 2014)."""
     try:
-        f = get(download_url, local_filename, overwrite=overwrite)
+        archive = get(download_url, local_filename, overwrite=overwrite)
     except Exception as e:
         raise RuntimeError(
-            f'Acquiring {local_filename} failed due to error: {e}.'
-        )
+            f'Acquiring {local_filename} failed due to error: {e}.')
 
-    data = []
-    tf = tarfile.open(f, 'r:bz2')
-    for xyz in tf:
-        content = io.TextIOWrapper(tf.extractfile(xyz)).read()
-        content = content.replace('*^', 'E')
-        lines = content.split('\n')
-        n_atoms = int(lines[0])
-        fields = lines[1][4:].strip().split('\t')
-        symbols, x, y, z, charges = zip(*[
-            line.split('\t') for line in lines[2:n_atoms + 2]
-        ])
-        data.append(tuple(
-            [int(fields[0])] + [float(w) for w in fields[1:]]
-            + [symbols, np.array([x, y, z], dtype=float).T.tolist(),
-               charges]
-            + [list(map(float, lines[n_atoms + 2].strip().split('\t')))]
-            + lines[n_atoms + 3].strip().split('\t')
-            + lines[n_atoms + 4].strip().split('\t')
-        ))
-
-    qm9 = pd.DataFrame(data, columns=_COLUMNS)
+    records = []
+    with tarfile.open(archive, 'r:bz2') as tf:
+        for member in tf:
+            records.append(_parse_record(
+                io.TextIOWrapper(tf.extractfile(member)).read()))
+    qm9 = pd.DataFrame.from_records(records)
 
     if ase is True:
         from ase import Atoms
-        qm9['atoms'] = qm9.apply(
-            lambda row: Atoms(
-                symbols=row.symbols,
-                positions=row.xyz,
-                charges=row.charges_mulliken
-            ),
-            axis=1
-        )
-
+        qm9['atoms'] = [
+            Atoms(symbols=row.symbols, positions=row.xyz,
+                  charges=np.asarray(row.charges_mulliken, dtype=float))
+            for row in qm9.itertuples()
+        ]
     return qm9

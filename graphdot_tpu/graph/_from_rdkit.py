@@ -9,10 +9,14 @@ Produces the same feature set as the reference:
 
 The ring-stereo inference (up/down orientation of ring substituents via
 molblock wedge parsing and breadth-first functional-group comparison) is
-re-implemented without the ``treelib`` dependency.
+re-implemented without the ``treelib`` dependency. Divergences from the
+reference, both bug fixes: (a) the V2000 bond block is parsed by its
+fixed 3-character columns, so molecules with >= 99 atoms (where fields
+run together, e.g. ``  1100  1  0``) keep their wedge flags — the
+reference's character-class regex (``_from_rdkit.py:103``) matches
+nothing at all; (b) orientation lookups normalize the atom pair to
+(min, max), matching how the dictionary is keyed.
 """
-import re
-
 import networkx as nx
 import numpy as np
 
@@ -20,10 +24,10 @@ from ._from_networkx import _from_networkx
 
 
 class FunctionalGroup:
-    """A functional group reachable from ``atom0`` through the directed bond
-    ``atom0 -> atom1``, represented as a breadth-first layered tree used
-    solely for canonical-rank comparison (reference ``_from_rdkit.py:12``).
-    """
+    """A functional group reachable from ``atom0`` through the directed
+    bond ``atom0 -> atom1``, represented as a breadth-first layered tree
+    used solely for canonical-rank comparison (reference
+    ``_from_rdkit.py:12``)."""
 
     def __init__(self, mol, atom0, atom1, depth=5):
         order0 = mol.GetBondBetweenAtoms(
@@ -53,7 +57,8 @@ class FunctionalGroup:
     def get_rank_list(self):
         rank = []
         for layer in self._layers:
-            for tag, _, _ in sorted(layer, key=lambda t: t[0], reverse=True):
+            for tag, _, _ in sorted(layer, key=lambda t: t[0],
+                                    reverse=True):
                 rank += tag
         return rank
 
@@ -67,90 +72,70 @@ class FunctionalGroup:
         return self.get_rank_list() > other.get_rank_list()
 
 
-# V2000 bond-block lines: >= 4 right-aligned integer fields
-# (begin atom, end atom, bond type, stereo flag). Atom lines contain
-# float coordinates and the counts line ends in 'V2000', so neither can
-# match. Divergence from the reference: its character-class pattern
-# (``_from_rdkit.py:103``) cannot match a 12-character bond line, so its
-# orientation dict is silently empty; the field-wise parse below actually
-# recovers the wedge/hash flags.
-_BOND_LINE = re.compile(
-    r'^[ \t]*(\d+)[ \t]+(\d+)[ \t]+(\d+)[ \t]+(\d+)(?:[ \t]+\d+)*'
-    r'[ \t]*$',
-    re.MULTILINE
-)
-
-
 def get_bond_orientation_dict(mol):
-    """Parse wedge/hash bond orientations out of a molblock."""
+    """Wedge (1) / hash (6) flags of every bond, keyed by the sorted atom
+    index pair, parsed from the fixed-width V2000 bond block."""
     from rdkit.Chem import AllChem as Chem
-    bond_orientation_dict = {}
-    mb = Chem.MolToMolBlock(mol, includeStereo=True, kekulize=False)
-    for i, j, _, d in _BOND_LINE.findall(mb):
-        i, j, d = int(i) - 1, int(j) - 1, int(d)
-        i, j = min(i, j), max(i, j)
-        bond_orientation_dict[(i, j)] = d
-    return bond_orientation_dict
+    lines = Chem.MolToMolBlock(
+        mol, includeStereo=True, kekulize=False).splitlines()
+    counts = lines[3]
+    n_atoms, n_bonds = int(counts[0:3]), int(counts[3:6])
+    flags = {}
+    for line in lines[4 + n_atoms:4 + n_atoms + n_bonds]:
+        i = int(line[0:3]) - 1
+        j = int(line[3:6]) - 1
+        stereo = int(line[9:12]) if len(line) >= 12 else 0
+        flags[(min(i, j), max(i, j))] = stereo
+    return flags
 
 
 def get_atom_ring_stereo(mol, atom, ring_idx, depth=5,
                          bond_orientation_dict=None):
-    """Determine whether an atom's larger substituent points up (+1), down
-    (-1), or neither (0) relative to the ring plane."""
+    """Whether an atom's larger substituent points up (+1), down (-1), or
+    neither (0) relative to the ring plane."""
     from rdkit.Chem import AllChem as Chem
 
     if bond_orientation_dict is None:
         bond_orientation_dict = get_bond_orientation_dict(mol)
 
-    up_atom = down_atom = None
-    updown_tag = None
-    if len(atom.GetNeighbors()) == 2:
+    neighbors = atom.GetNeighbors()
+    if len(neighbors) == 2:
         return 0
-    if len(atom.GetNeighbors()) > 4:
+    if len(neighbors) > 4:
         raise RuntimeError(
-            'cannot deal with atom in a ring with more than 4 bonds'
-        )
+            'cannot deal with atom in a ring with more than 4 bonds')
+
+    up_atom = down_atom = None
+    ring_bond_tag = None
     for bond in atom.GetBonds():
         if bond.GetBondType() != Chem.BondType.SINGLE \
                 and atom.GetAtomicNum() == 6:
             return 0
         i = bond.GetBeginAtom().GetIdx()
         j = bond.GetEndAtom().GetIdx()
-        ij = (i, j)
+        flag = bond_orientation_dict.get((min(i, j), max(i, j)))
         if i in ring_idx and j in ring_idx:
-            if bond_orientation_dict.get(ij) != 0:
-                updown_tag = bond_orientation_dict.get(ij)
+            if flag != 0:
+                ring_bond_tag = flag
             continue
-        if bond_orientation_dict.get(ij) == 1:
+        if flag == 1:
             if up_atom is not None:
                 raise RuntimeError('2 bonds oriented up')
-            other = j if i == atom.GetIdx() else i
-            up_atom = mol.GetAtomWithIdx(other)
-        elif bond_orientation_dict.get(ij) == 6:
+            up_atom = mol.GetAtomWithIdx(j if i == atom.GetIdx() else i)
+        elif flag == 6:
             if down_atom is not None:
                 raise RuntimeError('2 bonds oriented down')
-            other = j if i == atom.GetIdx() else i
-            down_atom = mol.GetAtomWithIdx(other)
+            down_atom = mol.GetAtomWithIdx(j if i == atom.GetIdx() else i)
+
     if up_atom is None and down_atom is None:
-        if updown_tag == 1:
-            return 1
-        elif updown_tag == 6:
-            return -1
-        else:
-            return 0
-    elif up_atom is None:
+        return {1: 1, 6: -1}.get(ring_bond_tag, 0)
+    if up_atom is None:
         return -1
-    elif down_atom is None:
+    if down_atom is None:
         return 1
-    else:
-        fg_up = FunctionalGroup(mol, atom, up_atom, depth)
-        fg_down = FunctionalGroup(mol, atom, down_atom, depth)
-        if fg_up > fg_down:
-            return 1
-        elif fg_up < fg_down:
-            return -1
-        else:
-            return 0
+    fg_up = FunctionalGroup(mol, atom, up_atom, depth)
+    fg_down = FunctionalGroup(mol, atom, down_atom, depth)
+    return 1 if fg_up > fg_down else (-1 if fg_up < fg_down else 0)
 
 
 def get_ringlist(mol):
@@ -163,64 +148,63 @@ def get_ringlist(mol):
     return [sorted(rings) if len(rings) else [0] for rings in ringlist]
 
 
-def _from_rdkit(cls, mol, title=None, bond_type='order', set_ring_list=True,
-                set_ring_stereo=True):
+def _assign_ring_stereo(mol, g):
+    """Propagate the per-atom up/down tags around each ring onto its
+    bonds: each bond between consecutive tagged atoms b..e receives
+    tag_b * tag_e / arc_length."""
+    orientation = get_bond_orientation_dict(mol)
+    for ring_idx in mol.GetRingInfo().AtomRings():
+        tags = np.array([
+            get_atom_ring_stereo(
+                mol, mol.GetAtomWithIdx(idx), ring_idx, depth=5,
+                bond_orientation_dict=orientation)
+            for idx in ring_idx
+        ])
+        anchors = np.flatnonzero(tags)
+        size = len(ring_idx)
+        for pos, b in enumerate(anchors):
+            e = anchors[(pos + 1) % len(anchors)]
+            length = (e - b) % size if e != b else size
+            value = tags[b] * tags[e] / length
+            for step in range(length):
+                u = ring_idx[(b + step) % size]
+                v = ring_idx[(b + step + 1) % size]
+                g.edges[(min(u, v), max(u, v))]['ring_stereo'] = value
+
+
+def _from_rdkit(cls, mol, title=None, bond_type='order',
+                set_ring_list=True, set_ring_stereo=True):
     g = nx.Graph(title=title)
 
+    ring_lists = get_ringlist(mol) if set_ring_list else None
     for i, atom in enumerate(mol.GetAtoms()):
-        g.add_node(i)
-        g.nodes[i]['atomic_number'] = atom.GetAtomicNum()
-        g.nodes[i]['charge'] = atom.GetFormalCharge()
-        g.nodes[i]['hcount'] = atom.GetTotalNumHs()
-        g.nodes[i]['hybridization'] = atom.GetHybridization()
-        g.nodes[i]['aromatic'] = atom.GetIsAromatic()
-        g.nodes[i]['chiral'] = 0 if atom.IsInRing() else atom.GetChiralTag()
-
-    if set_ring_list:
-        for i, rings in enumerate(get_ringlist(mol)):
-            g.nodes[i]['ring_list'] = rings
+        features = dict(
+            atomic_number=atom.GetAtomicNum(),
+            charge=atom.GetFormalCharge(),
+            hcount=atom.GetTotalNumHs(),
+            hybridization=atom.GetHybridization(),
+            aromatic=atom.GetIsAromatic(),
+            chiral=0 if atom.IsInRing() else atom.GetChiralTag(),
+        )
+        if ring_lists is not None:
+            features['ring_list'] = ring_lists[i]
+        g.add_node(i, **features)
 
     for bond in mol.GetBonds():
-        ij = (bond.GetBeginAtomIdx(), bond.GetEndAtomIdx())
-        g.add_edge(*ij)
+        features = dict(
+            aromatic=bond.GetIsAromatic(),
+            conjugated=bond.GetIsConjugated(),
+            stereo=bond.GetStereo(),
+        )
         if bond_type == 'order':
-            g.edges[ij]['order'] = bond.GetBondTypeAsDouble()
+            features['order'] = bond.GetBondTypeAsDouble()
         else:
-            g.edges[ij]['type'] = bond.GetBondType()
-        g.edges[ij]['aromatic'] = bond.GetIsAromatic()
-        g.edges[ij]['conjugated'] = bond.GetIsConjugated()
-        g.edges[ij]['stereo'] = bond.GetStereo()
-        if set_ring_stereo is True:
-            g.edges[ij]['ring_stereo'] = 0
+            features['type'] = bond.GetBondType()
+        if set_ring_stereo:
+            features['ring_stereo'] = 0
+        g.add_edge(bond.GetBeginAtomIdx(), bond.GetEndAtomIdx(),
+                   **features)
 
-    if set_ring_stereo is True:
-        bond_orientation_dict = get_bond_orientation_dict(mol)
-        for ring_idx in mol.GetRingInfo().AtomRings():
-            atom_updown = []
-            for idx in ring_idx:
-                atom = mol.GetAtomWithIdx(idx)
-                atom_updown.append(
-                    get_atom_ring_stereo(
-                        mol, atom, ring_idx, depth=5,
-                        bond_orientation_dict=bond_orientation_dict
-                    )
-                )
-            atom_updown = np.array(atom_updown)
-            non_zero_index = np.where(atom_updown != 0)[0]
-            for j in range(len(non_zero_index)):
-                b = non_zero_index[j]
-                if j == len(non_zero_index) - 1:
-                    e = non_zero_index[0]
-                    length = len(atom_updown) + e - b
-                else:
-                    e = non_zero_index[j + 1]
-                    length = e - b
-                stereo_of_ring_bond = atom_updown[b] * atom_updown[e] / length
-                for k in range(length):
-                    idx1 = (b + k) % len(ring_idx)
-                    idx2 = (b + k + 1) % len(ring_idx)
-                    ij = (ring_idx[idx1], ring_idx[idx2])
-                    ij = (min(ij), max(ij))
-                    g.edges[ij]['ring_stereo'] = stereo_of_ring_bond
-
+    if set_ring_stereo:
+        _assign_ring_stereo(mol, g)
     return _from_networkx(cls, g)

@@ -40,16 +40,19 @@ class AtomicAdjacency:
 
         self.ltable = self.ltable * zoom
 
-    @staticmethod
-    def _parse_shape(shape):
-        if shape == 'gaussian':
-            return Gaussian()
-        m = re.match(r'tent(\d+)', shape)
-        if m:
-            return Tent(ord=int(m.group(1)))
-        m = re.match(r'compactbell(\d+),(\d+)', shape)
-        if m:
-            return CompactBell(a=int(m.group(1)), b=int(m.group(2)))
+    _SHAPE_GRAMMAR = [
+        (r'gaussian$', lambda m: Gaussian()),
+        (r'tent(\d+)$', lambda m: Tent(ord=int(m.group(1)))),
+        (r'compactbell(\d+),(\d+)$',
+         lambda m: CompactBell(a=int(m.group(1)), b=int(m.group(2)))),
+    ]
+
+    @classmethod
+    def _parse_shape(cls, shape):
+        for pattern, build in cls._SHAPE_GRAMMAR:
+            m = re.match(pattern, shape)
+            if m:
+                return build(m)
         raise ValueError(f'Unrecognizable adjacency shape: {shape}')
 
     def __call__(self, n1, n2, r):

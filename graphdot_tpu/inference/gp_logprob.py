@@ -99,6 +99,28 @@ class GPRLogProb:
     def value_and_grad(self):
         return jax.value_and_grad(self.__call__)
 
+    def convergence_diagnostics(self, thetas):
+        """Worst relative CG residual ||b - A x|| / ||b|| of the Gram
+        solves at one or more log-theta points.
+
+        The bounded-effort ``maxiter`` cap (see the class docstring)
+        silently truncates solves at extreme hyperparameters. Converged
+        float32 solves report ~1e-7..1e-5; values orders of magnitude
+        above that at points *inside* the posterior's typical set mean
+        the cap is biasing log-densities and should be raised.
+        Recommended check after sampling: pass a thinned subset of the
+        posterior draws and assert the ratios stay near the converged
+        baseline (e.g. < 1e-4).
+        """
+        if not hasattr(self, '_residual_fn'):
+            self._residual_fn = jax.jit(
+                lambda t: self.factory.gram(
+                    t, lmin=self.lmin, with_residual=True)[1])
+        thetas = jnp.atleast_2d(jnp.asarray(thetas, dtype=jnp.float32))
+        return np.array([
+            float(self._residual_fn(t)) for t in thetas
+        ])
+
     def predict_fn(self, Z):
         """A traced function t -> (mean, var) of the GP posterior at the
         graphs Z given the training set."""

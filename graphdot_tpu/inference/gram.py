@@ -64,7 +64,12 @@ class GramFactory:
 
     def __init__(self, kernel, graphs, normalize=True, buckets='auto',
                  node_align=8, maxiter=None):
-        self._maxiter_cap = int(maxiter) if maxiter else 10000
+        if maxiter is None:
+            self._maxiter_cap = 10000
+        elif int(maxiter) >= 1:
+            self._maxiter_cap = int(maxiter)
+        else:
+            raise ValueError(f'maxiter must be >= 1, got {maxiter!r}.')
         # unwrap a Normalization fix if present
         if hasattr(kernel, 'kernel') and not hasattr(kernel, 'node_kernel'):
             kernel = kernel.kernel
@@ -275,19 +280,22 @@ class GramFactory:
         return ops
 
     def _group_r(self, theta, ops, pfix1, pfix2, idx1, idx2, lmin,
-                 maxiter):
+                 maxiter, with_residual=False):
         """Solve one job group and reduce to per-pair kernel values."""
         kernel = self.kernel
-        x, Vx, valid = mlgk_solve(
+        out = mlgk_solve(
             theta, ops, knode=kernel.node_kernel,
             kedge=kernel.edge_kernel, n_p_theta=self._n_p, lmin=lmin,
-            mode=self._mode, maxiter=maxiter
+            mode=self._mode, maxiter=maxiter,
+            return_resnorm=with_residual
         )
+        x, Vx, valid = out[:3]
         pf1 = pfix1[idx1] if pfix1 is not None else None
         pf2 = pfix2[idx2] if pfix2 is not None else None
         p1 = kernel.p.apply(theta[:self._n_p], ops['node_mask_1'], pf1)
         p2 = kernel.p.apply(theta[:self._n_p], ops['node_mask_2'], pf2)
-        return jnp.sum(weight_by_p(x, p1, p2), axis=(1, 2))
+        r = jnp.sum(weight_by_p(x, p1, p2), axis=(1, 2))
+        return (r, jnp.max(out[3])) if with_residual else r
 
     def _group_ops_solve(self, batch1, batch2, pfix1, pfix2, lmin,
                          maxiter, theta, idx1, idx2, *onehots):
@@ -307,11 +315,15 @@ class GramFactory:
         return self._group_r(
             theta, ops, pfix1, pfix2, idx1, idx2, lmin, maxiter)
 
-    def gram(self, theta_log_active, lmin=0):
-        """The (optionally normalized) Gram matrix as a traced function of
-        the log-scale active hyperparameters."""
+    def gram(self, theta_log_active, lmin=0, with_residual=False):
+        """The (optionally normalized) Gram matrix as a traced function
+        of the log-scale active hyperparameters. With ``with_residual``,
+        also returns the worst final-residual / tolerance ratio across
+        all pair solves (> 1 signals that the ``maxiter`` cap preempted
+        CG convergence at this theta)."""
         theta = self.full_theta(theta_log_active)
         K = jnp.zeros((self._n, self._n), dtype=jnp.float32)
+        worst = jnp.float32(0.0)
 
         if self._groups is None:
             ops = self._group_ops(
@@ -320,7 +332,10 @@ class GramFactory:
             maxiter = min(self._n_pad * self._n_pad, self._maxiter_cap)
             r = self._group_r(
                 theta, ops, self._p_fixed, self._p_fixed,
-                self._iu, self._ju, lmin, maxiter)
+                self._iu, self._ju, lmin, maxiter,
+                with_residual=with_residual)
+            if with_residual:
+                r, worst = r
             K = K.at[self._iu, self._ju].set(r)
             K = K.at[self._ju, self._iu].set(r)
         else:
@@ -331,11 +346,15 @@ class GramFactory:
                 maxiter = min(grp['ca'] * grp['cb'], self._maxiter_cap)
                 r = self._group_r(
                     theta, ops, grp['pfix1'], grp['pfix2'],
-                    grp['idx1'], grp['idx2'], lmin, maxiter)
+                    grp['idx1'], grp['idx2'], lmin, maxiter,
+                    with_residual=with_residual)
+                if with_residual:
+                    r, ratio = r
+                    worst = jnp.maximum(worst, ratio)
                 K = K.at[grp['gi'], grp['gj']].set(r)
                 K = K.at[grp['gj'], grp['gi']].set(r)
 
         if self.normalize:
             d = jnp.sqrt(jnp.diagonal(K))
             K = K / d[:, None] / d[None, :]
-        return K
+        return (K, worst) if with_residual else K

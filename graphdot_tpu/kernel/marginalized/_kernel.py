@@ -369,6 +369,22 @@ class MarginalizedGraphKernel:
             classes.setdefault(n_pad, []).append(gi)
         return classes
 
+    @staticmethod
+    def _is_compile_failure(e):
+        """True for exceptions that plausibly come from XLA/Mosaic
+        compilation or lowering (the only failures worth retrying on the
+        fallback backend); user-input and data errors re-raise as-is."""
+        if isinstance(e, (TypeError, ValueError, KeyError, IndexError,
+                          AssertionError, AttributeError)):
+            return False
+        if type(e).__name__ in ('XlaRuntimeError', 'JaxRuntimeError',
+                                'MosaicError'):
+            return True
+        text = str(e).lower()
+        return any(marker in text for marker in (
+            'mosaic', 'compil', 'lowering', 'internal', 'unimplemented',
+            'resource_exhausted', 'xla'))
+
     def _solve_jobs(self, graphs, i_jobs, j_jobs, nodal, lmin,
                     eval_gradient, timer=None):
         """Solve all jobs, demoting an auto-selected backend once (e.g.
@@ -378,18 +394,23 @@ class MarginalizedGraphKernel:
                 graphs, i_jobs, j_jobs, nodal, lmin, eval_gradient,
                 timer=timer
             )
-        except Exception as e:   # noqa: BLE001 — compile errors vary
-            if not self.backend.fall_back():
+        except Exception as e:
+            if not self._is_compile_failure(e) or \
+                    not self.backend.fall_back():
                 raise
             warnings.warn(
-                f'backend {e.__class__.__name__} '
-                f'({str(e).splitlines()[0][:120]}); retrying with the '
+                f'backend failed to compile with '
+                f'{e.__class__.__name__} '
+                f'({str(e).splitlines()[0][:500]}); retrying with the '
                 f'{self.backend.mode!r} backend'
             )
-            return self._solve_jobs_impl(
-                graphs, i_jobs, j_jobs, nodal, lmin, eval_gradient,
-                timer=timer
-            )
+            try:
+                return self._solve_jobs_impl(
+                    graphs, i_jobs, j_jobs, nodal, lmin, eval_gradient,
+                    timer=timer
+                )
+            except Exception as retry_error:
+                raise retry_error from e
 
     def _solve_jobs_impl(self, graphs, i_jobs, j_jobs, nodal, lmin,
                          eval_gradient, timer=None):

@@ -204,7 +204,7 @@ def solve_linear(matvec, b, precond, tol, maxiter, solve_impl=None):
 
 
 def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
-               maxiter):
+               maxiter, return_resnorm=False):
     """Solve a batch of graph-pair MLGK systems.
 
     Parameters
@@ -219,12 +219,19 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     lmin: 0 or 1 (static).
     mode: 'dense' or 'edge' (static).
     maxiter: static int bound on CG iterations.
+    return_resnorm: static bool; when True, also return the per-pair
+        final *relative* residual ||b - A x|| / ||b||. Converged f32
+        solves sit near 1e-7..1e-5 (epsilon times conditioning);
+        values orders of magnitude above that baseline mean the
+        ``maxiter`` cap preempted convergence — the non-convergence
+        signal for bounded-effort inference solves.
 
     Returns
     -------
     x: [P, n1, n2] solution of the product-graph system (zero on padding)
     Vx: [P, n1, n2] node-kernel diagonal
     valid: [P, n1, n2] product-space validity mask
+    resnorm_ratio: [P] (only when ``return_resnorm``)
     """
     q = theta[n_p_theta]
     tn = theta[n_p_theta + 1:n_p_theta + 1 + knode.n_theta]
@@ -338,16 +345,21 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
             diag_coef, precond_diag, tol, maxiter, mode=pmode
         )
 
-    x = solve_linear(
+    x_flat = solve_linear(
         matvec, b_flat, precond_flat, tol, maxiter,
         solve_impl=solve_impl
     )
-    x = x.reshape(P, n1, n2)
+    x = x_flat.reshape(P, n1, n2)
 
     if lmin == 1:
         # skip the l=0 term of the random-walk sum (template.cu:135-141)
         x = x - jnp.where(valid > 0, Vx, 0.0)
 
+    if return_resnorm:
+        leftover = jnp.linalg.norm(b_flat - matvec(x_flat), axis=-1)
+        scale = jnp.linalg.norm(b_flat, axis=-1)
+        rel = leftover / jnp.where(scale > 0, scale, 1.0)
+        return x, Vx, valid, rel
     return x, Vx, valid
 
 

@@ -601,6 +601,33 @@ def _make_stream_call(maxiter, tile_m, interpret, mode):
     def _rule(axis_size, in_batched, *args):
         C = axis_size
 
+        # Common case (vmapped chains over a fixed graph set): the heavy
+        # solver operands — T (HBM-resident, ~MBs/pair), one-hots — are
+        # closed-over constants and only diag/precond/b/tol carry the
+        # batch axis. Scanning the members reuses the constants in place
+        # instead of materializing C physical copies (which would
+        # multiply the HBM footprint C-fold). The grid runs pair
+        # programs sequentially either way, so the scan costs no
+        # parallelism.
+        if not any(in_batched[:5]):
+            light = args[5:]
+            light_batched = in_batched[5:]
+            moving = tuple(
+                a for a, ib in zip(light, light_batched) if ib)
+
+            def member(_, slices):
+                cursor = iter(slices)
+                full = [
+                    next(cursor) if ib else a
+                    for a, ib in zip(light, light_batched)
+                ]
+                return None, call(*args[:5], *full)
+
+            _, out = jax.lax.scan(member, None, moving)
+            return out, True
+
+        # General case: fold the batch axis into the pair axis (batched
+        # operands reshape for free; unbatched ones replicate).
         def fold(a, ib):
             if ib:
                 return a.reshape(C * a.shape[1], *a.shape[2:])

@@ -146,6 +146,25 @@ def test_gp_logprob_gram_matches_kernel(gp_problem):
     assert np.allclose(K, K_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_gp_logprob_convergence_diagnostics(gp_problem):
+    """The bounded-effort CG cap must be observable: with generous
+    maxiter the relative residual sits at the f32 convergence floor,
+    while a starved 1-iteration budget reports a far larger value."""
+    kernel, graphs, y = gp_problem
+    lp = GPRLogProb(kernel, graphs, y, alpha=1e-3, maxiter=256)
+    ratio = lp.convergence_diagnostics(lp.theta0)
+    assert ratio.shape == (1,) and ratio[0] < 1e-4
+    starved = GPRLogProb(kernel, graphs, y, alpha=1e-3, maxiter=1)
+    assert starved.convergence_diagnostics(lp.theta0)[0] > 100 * ratio[0]
+
+
+def test_gram_factory_maxiter_validation(gp_problem):
+    from graphdot_tpu.inference.gram import GramFactory
+    kernel, graphs, _ = gp_problem
+    with pytest.raises(ValueError):
+        GramFactory(kernel, graphs, maxiter=0)
+
+
 def test_gp_nuts_short_chain(gp_problem):
     kernel, graphs, y = gp_problem
     lp = GPRLogProb(kernel, graphs, y, alpha=1e-2)
