@@ -115,12 +115,29 @@ def main():
     dt_call = timed(gram, theta0 + 1e-3)
     pairs_per_sec = n_pairs / dt_loop
 
+    # regression tracking: compare against the newest committed
+    # BENCH_r*.json (driver artifacts of the previous rounds)
+    vs_prev = None
+    try:
+        import glob
+        import os.path
+        records = sorted(glob.glob(
+            os.path.join(os.path.dirname(__file__) or '.',
+                         'BENCH_r*.json')))
+        if records:
+            with open(records[-1]) as f:
+                prev = json.load(f)['parsed']['value']
+            vs_prev = round(pairs_per_sec / prev, 3)
+    except Exception as e:                          # noqa: BLE001
+        print(f'# vs_prev_round unavailable: {e}', file=sys.stderr)
+
     print(json.dumps({
         'metric': 'graph-pairs/s/chip (Gram build, 128 molecules, '
                   'Tang2019 kernel, sustained)',
         'value': round(pairs_per_sec, 1),
         'unit': 'pairs/s',
         'vs_baseline': 1.0,
+        'vs_prev_round': vs_prev,
     }))
     print(
         f'# details: {n_pairs} pairs, {dt_loop * 1e3:.1f} ms/build '
