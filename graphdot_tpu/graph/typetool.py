@@ -17,6 +17,27 @@ def _is_scalar_dtype(t):
         return False
 
 
+def _fold_types(kinds, coerce, min_float, ensure_signed):
+    """Reduce a stream of dtypes/Python types to their smallest common
+    type; None when they cannot be merged (mixed object types, or any
+    mismatch with coerce=False)."""
+    merged = None
+    for kind in kinds:
+        if ensure_signed and isinstance(kind, np.dtype) \
+                and kind.kind == 'u':
+            kind = np.promote_types(kind, np.int8)
+        if merged is None or merged == kind:
+            merged = kind
+        elif coerce and isinstance(merged, np.dtype) \
+                and isinstance(kind, np.dtype):
+            merged = np.promote_types(merged, kind)
+        else:
+            return None
+    if isinstance(merged, np.dtype) and merged.kind == 'f':
+        merged = np.promote_types(merged, min_float)
+    return merged
+
+
 class common_min_type:
     """Smallest common dtype over values or types (reference
     ``typetool.py:26``)."""
@@ -24,43 +45,15 @@ class common_min_type:
     @staticmethod
     def of_values(iterable, coerce=True, min_float=np.float32,
                   ensure_signed=True):
-        t = None
-        for i in iterable:
-            r = np.min_scalar_type(i) if np.isscalar(i) else type(i)
-            if ensure_signed and isinstance(r, np.dtype) and r.kind == 'u':
-                r = np.promote_types(r, np.int8)
-            t = t if t is not None else r
-            if t != r:
-                if coerce:
-                    if isinstance(t, np.dtype) and isinstance(r, np.dtype):
-                        t = np.promote_types(t, r)
-                    else:
-                        return None
-                else:
-                    return None
-        if isinstance(t, np.dtype) and t.kind == 'f':
-            t = np.promote_types(t, min_float)
-        return t
+        return _fold_types(
+            (np.min_scalar_type(v) if np.isscalar(v) else type(v)
+             for v in iterable),
+            coerce, min_float, ensure_signed)
 
     @staticmethod
     def of_types(types, coerce=True, min_float=np.float32,
                  ensure_signed=True):
-        t = None
-        for r in types:
-            if ensure_signed and isinstance(r, np.dtype) and r.kind == 'u':
-                r = np.promote_types(r, np.int8)
-            t = t if t is not None else r
-            if t != r:
-                if coerce:
-                    if isinstance(t, np.dtype) and isinstance(r, np.dtype):
-                        t = np.promote_types(t, r)
-                    else:
-                        return None
-                else:
-                    return None
-        if isinstance(t, np.dtype) and t.kind == 'f':
-            t = np.promote_types(t, min_float)
-        return t
+        return _fold_types(iter(types), coerce, min_float, ensure_signed)
 
 
 class common_concrete_type:
@@ -68,23 +61,14 @@ class common_concrete_type:
     ``typetool.py:114``)."""
 
     @staticmethod
-    def of_values(iterable):
-        t = None
-        for i in iterable:
-            r = type(i)
-            t = t or r
-            if t != r:
-                return None
-        return t
+    def of_types(types):
+        stream = iter(types)
+        first = next(stream, None)
+        return first if all(t == first for t in stream) else None
 
     @staticmethod
-    def of_types(types):
-        t = None
-        for r in types:
-            t = t or r
-            if t != r:
-                return None
-        return t
+    def of_values(iterable):
+        return common_concrete_type.of_types(map(type, iterable))
 
 
 def is_object_dtype(t):

@@ -87,7 +87,7 @@ def test_qm7_posterior_nuts_vs_smc_vs_advi(qm7):
 
     graphs, energies, _ = qm7
     knode, kedge, q = _kernels()
-    sub = list(range(12))
+    sub = list(range(8))
     lp = GPRLogProb(
         MarginalizedGraphKernel(knode, kedge, q=q),
         [graphs[i] for i in sub], energies[sub],
@@ -96,8 +96,8 @@ def test_qm7_posterior_nuts_vs_smc_vs_advi(qm7):
     D = lp.n_dims
 
     out_nuts = sample(
-        lp, jax.random.PRNGKey(0), n_chains=4, n_warmup=150,
-        n_samples=150, init=t0, max_depth=6, init_jitter=0.2)
+        lp, jax.random.PRNGKey(0), n_chains=2, n_warmup=80,
+        n_samples=80, init=t0, max_depth=5, init_jitter=0.1)
     s_nuts = np.asarray(out_nuts['samples']).reshape(-1, D)
     mean_nuts = s_nuts.mean(0)
     # MC standard error of the NUTS mean
@@ -112,20 +112,20 @@ def test_qm7_posterior_nuts_vs_smc_vs_advi(qm7):
         return lp(t) - log_prior(t)
 
     init = t0 + 0.5 * jax.random.normal(
-        jax.random.PRNGKey(1), (192, D))
+        jax.random.PRNGKey(1), (96, D))
     out_smc = smc_sample(
         log_prior, log_like, jax.random.PRNGKey(2), init=init,
-        n_moves=3, step_size=0.3, moves='nuts')
+        n_moves=2, step_size=0.3, moves='nuts')
     mean_smc = np.asarray(out_smc['samples']).mean(0)
     assert out_smc['beta_history'][-1] == 1.0
 
-    out_advi = advi(lp, jax.random.PRNGKey(3), init=t0, n_steps=600,
+    out_advi = advi(lp, jax.random.PRNGKey(3), init=t0, n_steps=300,
                     learning_rate=2e-2)
     mean_advi = np.asarray(out_advi['mu'])
 
     # cross-sampler agreement within a few MC standard errors (ADVI is
     # a mean-field approximation — allow a wider band)
-    tol = np.maximum(4.0 * se, 0.05)
+    tol = np.maximum(4.0 * se, 0.1)
     assert np.all(np.abs(mean_smc - mean_nuts) < 3 * tol), (
         mean_nuts, mean_smc, tol)
     assert np.all(np.abs(mean_advi - mean_nuts) < 6 * tol), (
