@@ -1,12 +1,27 @@
 """Standalone RBF kernel over vector data (fills the role of the
-reference's ``graphdot/kernel/rbf.py:11``); built on SymPy lambdify
-instead of runtime-compiled ufuncs."""
+reference's ``graphdot/kernel/rbf.py:11``), TPU-first: the pairwise
+distance matrix and the kernel map run on device as one jitted function,
+and hyperparameter gradients come from ``jax.jacfwd`` instead of
+symbolic per-parameter differentiation."""
 from collections import OrderedDict
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
-import scipy.spatial.distance
 import sympy
 from sympy.utilities.lambdify import lambdify
+
+
+def _pairwise_dist(X, Y):
+    """Euclidean cdist with a branch-free clamped sqrt (safe under
+    autodiff at d == 0)."""
+    sq = (
+        jnp.sum(X * X, axis=1)[:, None]
+        - 2.0 * (X @ Y.T)
+        + jnp.sum(Y * Y, axis=1)[None, :]
+    )
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
 
 
 class RBFKernel:
@@ -25,17 +40,30 @@ class RBFKernel:
     def __init__(self, expr, x, **hyperparameters):
         self.expr = sympy.sympify(expr)
         self._params = OrderedDict(hyperparameters)
-        symbols = (sympy.Symbol(x),) + tuple(
+        symbols = [sympy.Symbol(x)] + [
             sympy.Symbol(name) for name in self._params
-        )
-        self._fun = lambdify(symbols, self.expr)
-        self._grad = [
-            lambdify(symbols, self.expr.diff(sympy.Symbol(name)))
-            for name in self._params
         ]
+        # A single traced scalar map; everything else is jnp + autodiff.
+        f = lambdify(symbols, self.expr, modules=[jnp, jax.scipy.special])
 
-    def _values(self):
-        return tuple(self._params.values())
+        @jax.jit
+        def kmat(X, Y, p):
+            return f(_pairwise_dist(X, Y), *p)
+
+        @jax.jit
+        def kgrad(X, p):
+            d = _pairwise_dist(X, X)
+            return jax.jacfwd(lambda q: f(d, *q))(p)
+
+        @jax.jit
+        def kdiag(n_as_zeros, p):
+            return f(n_as_zeros, *p)
+
+        self._kmat, self._kgrad, self._kdiag = kmat, kgrad, kdiag
+
+    @property
+    def _p(self):
+        return jnp.asarray(list(self._params.values()))
 
     def get_params(self):
         return self._params
@@ -50,12 +78,13 @@ class RBFKernel:
             self._params[name] = value
 
     def __call__(self, X, Y=None):
-        d = scipy.spatial.distance.cdist(X, X if Y is None else Y)
-        return self._fun(d, *self._values())
+        X = jnp.asarray(X)
+        Y = X if Y is None else jnp.asarray(Y)
+        return np.asarray(self._kmat(X, Y, self._p))
 
     def gradient(self, X):
-        d = scipy.spatial.distance.cdist(X, X)
-        return [g(d, *self._values()) for g in self._grad]
+        J = self._kgrad(jnp.asarray(X), self._p)
+        return [np.asarray(J[..., i]) for i in range(len(self._params))]
 
     def diag(self, X):
-        return self._fun(np.zeros(len(X)), *self._values())
+        return np.asarray(self._kdiag(jnp.zeros(len(X)), self._p))

@@ -2,11 +2,22 @@
 reference's ``graphdot/model/active_learning/hierarchical_drafter.py:6``).
 
 Selecting n representatives from a large set with an O(N^2)-or-worse
-selector is made tractable by recursive k-way divide and conquer: each
-branch forwards an oversampled shortlist (a*n/k candidates) so the parent
-selector always has headroom to correct branch-local choices.
+selector is made tractable by k-way divide and conquer: each branch
+forwards an oversampled shortlist (a*n/k candidates) so the parent
+selector always has headroom to correct branch-local choices. The
+tree is evaluated here with an explicit post-order worklist rather
+than recursion, so arbitrarily deep hierarchies cannot hit Python's
+recursion limit.
 """
 import numpy as np
+
+
+def _as_rng(random_state):
+    if isinstance(random_state, np.random.Generator):
+        return random_state
+    if random_state is not None:
+        return np.random.Generator(np.random.PCG64(random_state))
+    return np.random.default_rng()
 
 
 class HierarchicalDrafter:
@@ -26,44 +37,56 @@ class HierarchicalDrafter:
     """
 
     def __init__(self, selector, k=2, a=2, leaf_ratio='auto'):
-        assert k > 1, 'k must be an integer greater than 1'
-        assert callable(selector)
+        if k <= 1:
+            raise ValueError('k must be an integer greater than 1')
+        if not callable(selector):
+            raise TypeError('selector must be callable')
         self.selector = selector
         self.k = k
         self.a = a
         self.leaf_ratio = 0.5 if leaf_ratio == 'auto' else leaf_ratio
 
+    def _is_leaf(self, pool_size, n):
+        return (
+            pool_size <= n
+            or n / pool_size >= self.leaf_ratio
+            or n <= self.k / self.a
+        )
+
     def __call__(self, X, n, random_state=None, verbose=False):
         """Pick a sorted array of n sample indices from X."""
-        assert len(X) >= n
+        if len(X) < n:
+            raise ValueError(f'Cannot choose {n} out of {len(X)} samples.')
         if not isinstance(X, np.ndarray):
             X = np.asarray(X, dtype=object)
-        if isinstance(random_state, np.random.Generator):
-            rng = random_state
-        elif random_state is not None:
-            rng = np.random.Generator(np.random.PCG64(random_state))
-        else:
-            rng = np.random.default_rng()
+        pool = _as_rng(random_state).permutation(len(X))
 
-        shuffled = rng.permutation(len(X))
-        return np.sort(self._pick(X, shuffled, n, verbose=verbose))
-
-    def _pick(self, X, pool, n, depth=0, verbose=False):
-        if verbose:
-            print(
-                ' ' * depth + f'C_{len(pool)}_{n}',
-                n / len(pool), self.leaf_ratio
-            )
-        if len(pool) <= n:
-            return pool
-        if n / len(pool) < self.leaf_ratio and n > self.k / self.a:
-            # recurse: each of the k branches forwards a*n/k candidates
-            carry = int(n * self.a // self.k)
-            cuts = np.linspace(0, len(pool), self.k + 1, dtype=int)
-            shortlists = [
-                self._pick(X, pool[lo:hi], carry, depth + 1,
-                           verbose=verbose)
-                for lo, hi in zip(cuts[:-1], cuts[1:])
-            ]
-            pool = np.concatenate(shortlists)
-        return pool[self.selector(X[pool], n)]
+        # Post-order evaluation over the implicit k-ary slice tree.
+        # 'expand' frames either resolve a leaf into its output slot or
+        # push a 'join' frame plus k child 'expand' frames; 'join'
+        # frames (which surface only after all their children resolved)
+        # run the selector on the concatenated shortlists.
+        root = [None]
+        stack = [('expand', pool, int(n), 0, root, 0)]
+        while stack:
+            tag, pool, quota, depth, out, slot = stack.pop()
+            if tag == 'join':
+                # all child cells are filled by now (children sit above
+                # their join frame on the LIFO stack)
+                pool = np.concatenate([cell[0] for cell in pool])
+            elif verbose:
+                print(' ' * depth + f'C_{len(pool)}_{quota}',
+                      quota / len(pool), self.leaf_ratio)
+            if len(pool) <= quota:
+                out[slot] = pool
+            elif tag == 'join' or self._is_leaf(len(pool), quota):
+                out[slot] = pool[self.selector(X[pool], quota)]
+            else:
+                cells = [[None] for _ in range(self.k)]
+                carry = int(quota * self.a // self.k)
+                cuts = np.linspace(0, len(pool), self.k + 1, dtype=int)
+                stack.append(('join', cells, quota, depth, out, slot))
+                for cell, lo, hi in zip(cells, cuts[:-1], cuts[1:]):
+                    stack.append(('expand', pool[lo:hi], carry,
+                                  depth + 1, cell, 0))
+        return np.sort(root[0])

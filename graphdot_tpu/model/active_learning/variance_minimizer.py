@@ -2,14 +2,14 @@
 reference's ``graphdot/model/active_learning/variance_minimizer.py``).
 
 Greedily grows a subset so that the GP posterior variance (Nystrom
-residual) of the REMAINING samples is minimized; the inverse of the chosen
-block is maintained incrementally with a rank-1 bordered update
-(``binvh1``), and chosen rows are swapped to the matrix front so the
-posterior update stays a contiguous block operation.
+residual) of the REMAINING samples is minimized. Instead of the
+reference's swap-to-front + bordered-inverse updates, the selection runs
+as a pivoted-Cholesky-style residual sweep: after each pick the residual
+kernel is deflated by a rank-1 outer product, so the posterior covariance
+of the unchosen samples is always the residual itself — no row/column
+permutations and no explicit inverse.
 """
 import numpy as np
-
-from ...linalg.block import binvh1
 
 
 class VarianceMinimizer:
@@ -26,45 +26,42 @@ class VarianceMinimizer:
     """
 
     def __init__(self, kernel, alpha=1e-6, kernel_options=None):
-        assert kernel == 'precomputed' or callable(kernel)
+        if not (kernel == 'precomputed' or callable(kernel)):
+            raise TypeError(
+                "kernel must be callable or the string 'precomputed'."
+            )
         self.kernel = kernel
         self.alpha = alpha
         self.kernel_options = kernel_options or {}
 
+    def _kernel_matrix(self, X):
+        if isinstance(self.kernel, str):
+            K = np.array(X, dtype=float)
+            if K.ndim != 2 or K.shape[0] != K.shape[1]:
+                raise ValueError(
+                    'A precomputed kernel matrix must be square.'
+                )
+        else:
+            K = np.array(self.kernel(X, **self.kernel_options), dtype=float)
+        return K + self.alpha * np.eye(len(K))
+
     def __call__(self, X, n):
         """Indices of n greedily chosen samples of X."""
-        assert len(X) >= n
-        if isinstance(self.kernel, str) and self.kernel == 'precomputed':
-            assert (
-                isinstance(X, np.ndarray) and X.ndim == 2
-                and X.shape[0] == X.shape[1]
-            ), 'A precomputed kernel matrix must be square.'
-            K = np.array(X, dtype=float)
-        else:
-            K = np.array(
-                self.kernel(X, **self.kernel_options), dtype=float
-            )
-        K[np.diag_indices_from(K)] += self.alpha
-        return self._choose(K, n)
-
-    @staticmethod
-    def _choose(K, n):
+        if len(X) < n:
+            raise ValueError(f'Cannot choose {n} out of {len(X)} samples.')
+        R = self._kernel_matrix(X)  # residual kernel, deflated in place
+        unchosen = np.ones(len(R), dtype=bool)
         chosen = []
-        labels = np.arange(len(K))
-        inv_front = np.zeros((0, 0))
-        for step in range(n):
-            # posterior covariance of the unchosen block given the front
-            tail = K[step:, step:]
-            cross = K[step:, :step]
-            posterior = tail - cross @ inv_front @ cross.T
-            pick = step + int(np.argmax(posterior.sum(axis=1)))
-            chosen.append(labels[pick])
-            # swap the pick to the front of the working matrix
-            labels[[step, pick]] = labels[[pick, step]]
-            K[[step, pick], :] = K[[pick, step], :]
-            K[:, [step, pick]] = K[:, [pick, step]]
-            if step + 1 < n:
-                inv_front = binvh1(
-                    inv_front, K[:step, step], K[step, step]
-                )
+        for _ in range(n):
+            # The posterior covariance of the unchosen block given the
+            # chosen set is exactly the residual restricted to it; score
+            # each candidate by its residual row-sum over that block.
+            score = R @ unchosen
+            score[~unchosen] = -np.inf
+            pick = int(np.argmax(score))
+            chosen.append(pick)
+            unchosen[pick] = False
+            # rank-1 deflation: R <- R - R[:,p] R[p,:] / R[p,p]
+            col = R[:, pick]
+            R -= np.outer(col, col) / col[pick]
         return chosen

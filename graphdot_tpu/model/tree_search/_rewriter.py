@@ -1,13 +1,16 @@
 """Sequence rewriters for tree search (reference:
 ``graphdot/model/tree_search/_rewriter.py:29-215``).
 
-The n-gram context tree is re-implemented as a plain nested-dict trie
-instead of the reference's ``treelib`` dependency.
+The n-gram context model is re-implemented as a substring Counter
+flattened into a nested-dict trie, instead of the reference's
+``treelib``-based incremental pointer walk.
 """
 from abc import ABC, abstractmethod
-import itertools as it
+from collections import Counter
 
 import numpy as np
+
+from ...util.random import as_generator
 
 
 class AbstractRewriter(ABC):
@@ -19,27 +22,40 @@ class AbstractRewriter(ABC):
         returns a list of new graphs."""
 
 
-class _TrieNode:
-    """One node of the n-gram trie: symbol counts/frequencies plus
-    children."""
+class _ContextModel:
+    """Distributions of the symbol following every k-gram (k <= n) of a
+    training corpus, stored as a dict mapping context tuples to
+    (symbols, frequencies)."""
 
-    __slots__ = ('count', 'freq', 'children')
+    def __init__(self, corpus, n):
+        counts = Counter()
+        for seq in corpus:
+            sym = list(seq)
+            for stop in range(1, len(sym) + 1):
+                for start in range(max(stop - n - 1, 0), stop):
+                    counts[tuple(sym[start:stop])] += 1
+        table = {}
+        for gram, c in counts.items():
+            table.setdefault(gram[:-1], []).append((gram[-1], c))
+        self.n = n
+        self.follow = {
+            cxt: (
+                [s for s, _ in pairs],
+                np.array([c for _, c in pairs], dtype=float)
+                / sum(c for _, c in pairs),
+            )
+            for cxt, pairs in table.items()
+        }
 
-    def __init__(self):
-        self.count = 0
-        self.freq = 0.0
-        self.children = {}
-
-    def child(self, symbol):
-        if symbol not in self.children:
-            self.children[symbol] = _TrieNode()
-        return self.children[symbol]
-
-    def normalize(self):
-        total = sum(c.count for c in self.children.values())
-        for c in self.children.values():
-            c.freq = c.count / total if total > 0 else 0.0
-            c.normalize()
+    def continuation(self, s, k):
+        """Symbols and frequencies following the longest k-gram (k <= n)
+        of ``s`` that ends right before position ``k`` and has a known
+        continuation; falls back to the unconditional distribution."""
+        for length in range(min(self.n, k), -1, -1):
+            hit = self.follow.get(tuple(s[k - length:k]))
+            if hit is not None:
+                return hit
+        return self.follow[()]
 
 
 class LookAheadSequenceRewriter(AbstractRewriter):
@@ -71,22 +87,14 @@ class LookAheadSequenceRewriter(AbstractRewriter):
         self.p_imd /= self.p_imd.sum()
         self.min_edits = min_edits
         self.max_edits = max_edits
-        self.rng = self._parse_random_state(random_state)
-
-    @staticmethod
-    def _parse_random_state(random_state):
-        if isinstance(random_state, np.random.Generator):
-            return random_state
-        elif random_state is not None:
-            return np.random.Generator(np.random.PCG64(random_state))
-        else:
-            return np.random.default_rng()
+        self.rng = as_generator(random_state)
 
     @property
     def tree(self):
-        """The trie of 1- to n-gram context distributions."""
+        """The fitted context model (kept under the reference's
+        attribute name)."""
         try:
-            return self._tree
+            return self._model
         except AttributeError:
             raise RuntimeError(
                 'The rewriter must be trained on a collection of sequences '
@@ -95,54 +103,17 @@ class LookAheadSequenceRewriter(AbstractRewriter):
 
     def fit(self, X):
         """Learn the n-gram distribution from the given sequences."""
-        root = _TrieNode()
-        for seq in X:
-            # ptrs[i] tracks the trie node for the context starting i
-            # symbols back; keep at most n+1 live pointers
-            ptrs = []
-            for symbol in seq:
-                ptrs.append(root)
-                if len(ptrs) > self.n + 1:
-                    ptrs.pop(0)
-                for i, p in enumerate(ptrs):
-                    nxt = p.child(symbol)
-                    nxt.count += 1
-                    ptrs[i] = nxt
-        root.normalize()
-        self._tree = root
+        self._model = _ContextModel(X, self.n)
         return self
 
-    def _match_context(self, s, k):
-        """The trie node of the longest k-gram ending right before position
-        k that has a non-empty continuation distribution."""
-        n = self.n
-        root = self.tree
-        ptrs = [root for _ in range(n + 1)]
-        for i, loc in enumerate(range(max(k - n, 0), k)):
-            for j in range(i + 1):
-                p = ptrs[j]
-                if p is not None:
-                    ptrs[j] = p.children.get(s[loc])
-        for node in ptrs:
-            if node is not None and node.children:
-                return node
-        return root
-
     def _propose(self, s, k):
-        cxt = self._match_context(s, k)
-        symbols = list(cxt.children.keys())
-        freq = np.array([cxt.children[x].freq for x in symbols])
-        freq = freq / freq.sum()
+        symbols, freq = self.tree.continuation(s, k)
         return symbols[self.rng.choice(len(symbols), p=freq)]
 
-    def _insert(self, s, k):
-        return s[:k] + type(s)(self._propose(s, k)) + s[k:]
-
-    def _mutate(self, s, k):
-        return s[:k] + type(s)(self._propose(s, k)) + s[k + 1:]
-
-    def _delete(self, s, k):
-        return s[:k] + s[k + 1:]
+    def _edit(self, s, k, op):
+        """One edit at position k: 0 = insert, 1 = mutate, 2 = delete."""
+        patch = type(s)() if op == 2 else type(s)(self._propose(s, k))
+        return s[:k] + patch + s[k + (op != 0):]
 
     def _rewrite(self, s):
         """Apply one random insert/mutate/delete edit to the sequence."""
@@ -150,21 +121,23 @@ class LookAheadSequenceRewriter(AbstractRewriter):
             # insertion is the only valid edit on an empty sequence
             # (the reference raises from ``rng.choice(0)`` here,
             # ``graphdot/model/tree_search/_rewriter.py:190``)
-            return self._insert(s, 0)
-        op_idx = self.rng.choice(3, p=self.p_imd)
-        op = [self._insert, self._mutate, self._delete][op_idx]
-        k = self.rng.choice(len(s))
-        return op(s, k)
+            return self._edit(s, 0, 0)
+        return self._edit(
+            s, self.rng.choice(len(s)), self.rng.choice(3, p=self.p_imd)
+        )
 
     def __call__(self, s):
         """Generate up to ``b`` unique offspring sequences, each rewritten
         between min_edits and max_edits times."""
-        offspring = set([s])
-        for t in it.repeat(s, self.b):
+        offspring = set()
+        for _ in range(self.b):
+            t = s
             for i in range(self.max_edits):
                 t = self._rewrite(t)
-                if i >= self.min_edits - 1 and t not in offspring:
+                if (
+                    i + 1 >= self.min_edits
+                    and t != s and t not in offspring
+                ):
                     offspring.add(t)
                     break
-        offspring.remove(s)
         return list(offspring)

@@ -11,8 +11,11 @@ class Tree(DataFrame):
     class NodeView:
         """Mutable row proxy: attribute access reads/writes tree columns."""
 
+        __slots__ = ('tree', 'i')
+
         def __init__(self, tree, i):
-            self.__dict__.update(tree=tree, i=i)
+            object.__setattr__(self, 'tree', tree)
+            object.__setattr__(self, 'i', i)
 
         def __getattr__(self, key):
             if key.startswith('__'):
@@ -25,10 +28,10 @@ class Tree(DataFrame):
             self.tree[key][self.i] = val
 
         def __str__(self):
-            pairs = (
-                f'{c}:{getattr(self, c)}' for c in self.tree.columns
+            row = self.tree
+            return ' '.join(
+                f'{c}:{row[c][self.i]}' for c in row.columns
             )
-            return ' '.join(pairs)
 
     def __init__(self, data={}, **kwargs):
         merged = dict(data)
@@ -37,30 +40,29 @@ class Tree(DataFrame):
 
     def iternodes(self):
         """Yield a NodeView per row."""
-        for i in range(len(self)):
-            yield Tree.NodeView(self, i)
+        return map(Tree.NodeView, [self] * len(self), range(len(self)))
 
     @property
     def flat(self):
         """Depth-first flattening into a plain DataFrame with a 'level'
-        column (parent/children links dropped)."""
+        column (parent/children links dropped), via an explicit stack."""
         payload = [
             c for c in self.columns if c not in ('parent', 'children')
         ]
-
         rows = []
-
-        def walk(tree, level):
-            for vals, children in zip(
-                zip(*[tree[c] for c in payload]), tree.children
-            ):
-                rows.append((level,) + vals)
-                if children is not None:
-                    walk(children, level + 1)
-
-        walk(self, 0)
-        columns = dict(zip(['level'] + payload, zip(*rows)))
-        return DataFrame(columns)
+        stack = [(self, 0, 0)]  # (subtree, row cursor, level)
+        while stack:
+            tree, at, level = stack.pop()
+            while at < len(tree):
+                rows.append(
+                    (level,) + tuple(tree[c][at] for c in payload)
+                )
+                sub = tree.children[at]
+                at += 1
+                if sub is not None:
+                    stack.append((tree, at, level))
+                    tree, at, level = sub, 0, level + 1
+        return DataFrame(dict(zip(['level'] + payload, zip(*rows))))
 
     def __str__(self):
         return '\n'.join(

@@ -9,16 +9,8 @@ inverse-variance-weighted means/stds back to the root.
 import numpy as np
 from scipy.stats import norm
 
-from ...util.iterable import argmax
+from ...util.random import as_generator
 from ._tree import Tree
-
-
-def _as_rng(random_state):
-    if isinstance(random_state, np.random.Generator):
-        return random_state
-    if random_state is not None:
-        return np.random.Generator(np.random.PCG64(random_state))
-    return np.random.default_rng()
 
 
 class MCTSGraphTransformer:
@@ -48,7 +40,7 @@ class MCTSGraphTransformer:
         """Search for graphs whose predicted property approaches
         ``target``, starting from ``g0``. Returns the search tree, or a
         likelihood-sorted flat dataframe."""
-        rng = _as_rng(random_state)
+        rng = as_generator(random_state)
         root = self._spawn(None, [g0])
         self._evaluate(root)
         for _ in range(maxiter):
@@ -64,22 +56,24 @@ class MCTSGraphTransformer:
     # -- tree plumbing --------------------------------------------------
 
     def _spawn(self, parent, graphs):
+        count = len(graphs)
         return Tree(
-            parent=[parent] * len(graphs),
-            children=[None] * len(graphs),
+            parent=[parent] * count,
+            children=[None] * count,
             g=graphs,
-            visits=np.zeros(len(graphs), dtype=int),
+            visits=np.zeros(count, dtype=int),
         )
 
     def _evaluate(self, nodes):
         """Score fresh nodes with the surrogate's posterior."""
         mean, cov = self.surrogate.predict(nodes.g, return_cov=True)
         std = np.sqrt(cov.diagonal())
-        nodes['self_mean'] = mean.copy()
-        nodes['tree_mean'] = mean.copy()
-        nodes['self_std'] = std.copy()
-        nodes['tree_std'] = std.copy()
-        nodes['score'] = np.zeros_like(mean)
+        for column, stat in (
+            ('self_mean', mean), ('tree_mean', mean),
+            ('self_std', std), ('tree_std', std),
+            ('score', np.zeros_like(mean)),
+        ):
+            nodes[column] = stat.copy()
         nodes.visits += 1
 
     # -- scoring ---------------------------------------------------------
@@ -98,30 +92,30 @@ class MCTSGraphTransformer:
 
     # -- one MCTS iteration ----------------------------------------------
 
-    def _step(self, root, target, rng):
-        # selection: walk down the max-score child
+    def _descend(self, root):
+        """Walk down the max-score child; bumps visit counters."""
         node = next(root.iternodes())
         node.visits += 1
         while node.children is not None:
-            node = argmax(
-                node.children.iternodes(),
-                lambda a, b: a.score < b.score
-            )
+            node = max(node.children.iternodes(),
+                       key=lambda child: child.score)
             node.visits += 1
+        return node
 
-        # expansion + simulation
+    def _step(self, root, target, rng):
+        # selection, then expansion + simulation at the reached leaf
+        node = self._descend(root)
         node.children = self._spawn(node, self.rewriter(node, rng))
         self._evaluate(node.children)
 
         # back-propagation of precision-weighted statistics
         up = node
         while up:
-            w = up.children.tree_std ** -2
-            mean = np.average(up.children.tree_mean, weights=w)
-            var = np.average(
-                (up.children.tree_mean - mean) ** 2, weights=w
-            )
+            stats = up.children
+            w = stats.tree_std ** -2
+            mean = np.average(stats.tree_mean, weights=w)
+            var = np.average((stats.tree_mean - mean) ** 2, weights=w)
             up.tree_mean = mean
             up.tree_std = np.sqrt(var)
-            up.children['score'] = self._ucb(target, up.children)
+            stats['score'] = self._ucb(target, stats)
             up = up.parent

@@ -37,15 +37,12 @@ def fold_like(flat, example):
 def replace(iterable, old, new):
     """Yield items, substituting every occurrence of ``old`` with
     ``new``."""
-    for item in iterable:
-        yield new if item == old else item
+    return (new if item == old else item for item in iterable)
 
 
 def argmax(iterable, less):
     """The element that is not ``less`` than any other, by pairwise
-    comparison."""
-    best = None
-    for candidate in iterable:
-        if best is None or less(best, candidate):
-            best = candidate
-    return best
+    comparison (``less(a, b)`` meaning ``a < b``)."""
+    from functools import reduce
+    return reduce(lambda a, b: b if a is None or less(a, b) else a,
+                  iterable, None)
