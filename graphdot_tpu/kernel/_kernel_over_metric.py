@@ -1,11 +1,18 @@
 """Kernel defined as a function of a distance metric (fills the role of
-the reference's ``graphdot/kernel/_kernel_over_metric.py:11``)."""
+the reference's ``graphdot/kernel/_kernel_over_metric.py:11``), TPU-first:
+the scalar map f runs on device and all of its derivatives — with respect
+to both its own hyperparameters and the distance input (for chaining
+through the metric's gradient) — come from one ``jax.jacfwd`` pass
+instead of per-parameter symbolic differentiation."""
 from collections import OrderedDict
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import sympy
 from sympy.utilities.lambdify import lambdify
 
+from ..linalg._exec import run
 from ..util.pretty_tuple import pretty_tuple
 
 
@@ -50,37 +57,46 @@ class KernelOverMetric:
             self._hyperparams[name] = value
             self._hyperbounds[name] = bounds
 
-        d_sym = sympy.Symbol(x)
-        symbols = (d_sym,) + tuple(
+        symbols = [sympy.Symbol(x)] + [
             sympy.Symbol(name) for name in self._hyperparams
-        )
-        self._fun = lambdify(symbols, self.expr)
-        self._grad = [
-            lambdify(symbols, self.expr.diff(sympy.Symbol(name)))
-            for name in self._hyperparams
         ]
-        self._grad_d = lambdify(symbols, self.expr.diff(d_sym))
+        f = lambdify(symbols, self.expr, modules=[jnp, jax.scipy.special])
+
+        @jax.jit
+        def kfun(D, p):
+            return f(D, *p)
+
+        @jax.jit
+        def kjac(D, p):
+            # forward mode over the (few) hyperparameters; a single JVP
+            # for the elementwise distance derivative
+            dp = jax.jacfwd(lambda q: f(D, *q))(p)
+            _, dd = jax.jvp(
+                lambda d: f(d, *p), (D,), (jnp.ones_like(D),)
+            )
+            return dp, dd
+
+        self._kfun, self._kjac = kfun, kjac
 
     def _values(self):
-        return tuple(self._hyperparams.values())
+        return np.asarray(list(self._hyperparams.values()), dtype=float)
 
     def __call__(self, X, Y=None, eval_gradient=False):
         if not eval_gradient:
-            return self._fun(self.distance(X, Y), *self._values())
+            return run(self._kfun, self.distance(X, Y), self._values())
         D, dD = self.distance(X, Y, eval_gradient=True)
-        n_own = len(self._grad)
+        K = run(self._kfun, D, self._values())
+        dp, dd = run(self._kjac, D, self._values())
+        n_own = len(self._hyperparams)
         n_dist = len(self.distance.theta)
         grad = np.empty((*D.shape, n_own + n_dist), order='F')
-        for i, g in enumerate(self._grad):
-            grad[:, :, i] = g(D, *self._values())
+        grad[:, :, :n_own] = dp
         if n_dist:
-            grad[:, :, n_own:] = (
-                self._grad_d(D, *self._values())[:, :, None] * dD
-            )
-        return self._fun(D, *self._values()), grad
+            grad[:, :, n_own:] = dd[:, :, None] * dD
+        return K, grad
 
     def diag(self, X):
-        return self._fun(np.zeros(len(X)), *self._values())
+        return run(self._kfun, np.zeros(len(X)), self._values())
 
     def get_params(self):
         return self._hyperparams

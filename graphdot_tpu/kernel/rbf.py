@@ -4,13 +4,14 @@ distance matrix and the kernel map run on device as one jitted function,
 and hyperparameter gradients come from ``jax.jacfwd`` instead of
 symbolic per-parameter differentiation."""
 from collections import OrderedDict
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import sympy
 from sympy.utilities.lambdify import lambdify
+
+from ..linalg._exec import run
 
 
 def _pairwise_dist(X, Y):
@@ -63,7 +64,7 @@ class RBFKernel:
 
     @property
     def _p(self):
-        return jnp.asarray(list(self._params.values()))
+        return np.asarray(list(self._params.values()), dtype=float)
 
     def get_params(self):
         return self._params
@@ -78,13 +79,13 @@ class RBFKernel:
             self._params[name] = value
 
     def __call__(self, X, Y=None):
-        X = jnp.asarray(X)
-        Y = X if Y is None else jnp.asarray(Y)
-        return np.asarray(self._kmat(X, Y, self._p))
+        X = np.asarray(X, dtype=float)
+        Y = X if Y is None else np.asarray(Y, dtype=float)
+        return run(self._kmat, X, Y, self._p)
 
     def gradient(self, X):
-        J = self._kgrad(jnp.asarray(X), self._p)
-        return [np.asarray(J[..., i]) for i in range(len(self._params))]
+        J = run(self._kgrad, np.asarray(X, dtype=float), self._p)
+        return [J[..., i] for i in range(len(self._params))]
 
     def diag(self, X):
-        return np.asarray(self._kdiag(jnp.zeros(len(X)), self._p))
+        return run(self._kdiag, np.zeros(len(X)), self._p)

@@ -152,19 +152,50 @@ class MicroKernel(ABC):
 
 
 class MicroKernelExpr(MicroKernel):
-    """Binary combinator node (reference ``_base.py:170``)."""
+    """Binary combinator node (reference ``_base.py:170``).
 
-    @property
+    Unlike the reference's three per-operator closure factories, every
+    operator is one concrete subclass parameterized by the scalar
+    operation ``_op`` and its two partial derivatives ``_partials``;
+    value, jacobian chain rule, ``apply`` and ``minmax`` all share the
+    generic implementations below.
+    """
+
+    #: the display name of the operator, e.g. ``'+'``
+    opstr = None
+    #: the scalar/array binary operation
+    _op = None
+
+    @staticmethod
     @abstractmethod
-    def opstr(self):
-        pass
+    def _partials(f1, f2):
+        """(d op/d f1, d op/d f2) evaluated at scalar operands."""
 
     def __init__(self, k1, k2):
-        self.k1 = k1
-        self.k2 = k2
+        self.k1 = Constant(k1) if np.isscalar(k1) else k1
+        self.k2 = Constant(k2) if np.isscalar(k2) else k2
+
+    @property
+    def name(self):
+        return type(self).__name__
 
     def __repr__(self):
         return f'{repr(self.k1)} {self.opstr} {repr(self.k2)}'
+
+    def __call__(self, i, j, jac=False):
+        if jac is not True:
+            return self._op(self.k1(i, j, False), self.k2(i, j, False))
+        f1, J1 = self.k1(i, j, True)
+        f2, J2 = self.k2(i, j, True)
+        g1, g2 = self._partials(f1, f2)
+        return self._op(f1, f2), np.concatenate([
+            g1 * np.asarray(J1, dtype=float).ravel(),
+            g2 * np.asarray(J2, dtype=float).ravel(),
+        ])
+
+    def apply(self, theta, X, Y):
+        t1, t2 = self._split(theta)
+        return self._op(self.k1.apply(t1, X, Y), self.k2.apply(t2, X, Y))
 
     @property
     def n_theta(self):
@@ -189,132 +220,59 @@ class MicroKernelExpr(MicroKernel):
     def bounds(self):
         return (self.k1.bounds, self.k2.bounds)
 
+    @property
+    def minmax(self):
+        return tuple(starmap(
+            self._op, zip(self.k1.minmax, self.k2.minmax)
+        ))
+
+    # kept as the combinator entry points used by MicroKernel.__add__ etc.
     @staticmethod
     def add(k1, k2):
-        k1 = Constant(k1) if np.isscalar(k1) else k1
-        k2 = Constant(k2) if np.isscalar(k2) else k2
-
-        class Add(MicroKernelExpr):
-
-            @property
-            def opstr(self):
-                return '+'
-
-            @property
-            def name(self):
-                return 'Add'
-
-            def __call__(self, i, j, jac=False):
-                if jac is True:
-                    f1, J1 = self.k1(i, j, True)
-                    f2, J2 = self.k2(i, j, True)
-                    return (f1 + f2, np.concatenate([
-                        np.asarray(J1, dtype=float).ravel(),
-                        np.asarray(J2, dtype=float).ravel()
-                    ]))
-                else:
-                    return self.k1(i, j, False) + self.k2(i, j, False)
-
-            def apply(self, theta, X, Y):
-                t1, t2 = self._split(theta)
-                return self.k1.apply(t1, X, Y) + self.k2.apply(t2, X, Y)
-
-            @property
-            def minmax(self):
-                return tuple(starmap(
-                    operator.add, zip(k1.minmax, k2.minmax)
-                ))
-
         return Add(k1, k2)
 
     @staticmethod
     def mul(k1, k2):
-        k1 = Constant(k1) if np.isscalar(k1) else k1
-        k2 = Constant(k2) if np.isscalar(k2) else k2
-
-        class Multiply(MicroKernelExpr):
-
-            @property
-            def opstr(self):
-                return '*'
-
-            @property
-            def name(self):
-                return 'Multiply'
-
-            def __call__(self, i, j, jac=False):
-                if jac is True:
-                    f1, J1 = self.k1(i, j, True)
-                    f2, J2 = self.k2(i, j, True)
-                    return (f1 * f2, np.concatenate([
-                        np.asarray([j1 * f2 for j1 in J1], dtype=float),
-                        np.asarray([f1 * j2 for j2 in J2], dtype=float)
-                    ]))
-                else:
-                    return self.k1(i, j, False) * self.k2(i, j, False)
-
-            def apply(self, theta, X, Y):
-                t1, t2 = self._split(theta)
-                return self.k1.apply(t1, X, Y) * self.k2.apply(t2, X, Y)
-
-            @property
-            def minmax(self):
-                return tuple(starmap(
-                    operator.mul, zip(k1.minmax, k2.minmax)
-                ))
-
         return Multiply(k1, k2)
 
     @staticmethod
     def pow(k1, c):
-        if np.isscalar(c):
-            k2 = Constant(c)
-        elif isinstance(c, MicroKernel) and c.name == 'Constant':
-            k2 = c
-        else:
+        if not (
+            np.isscalar(c)
+            or (isinstance(c, MicroKernel) and c.name == 'Constant')
+        ):
             raise ValueError(
                 f'Exponent must be a constant or constant microkernel, '
                 f'got {c} instead.'
             )
+        return Exponentiation(k1, c)
 
-        class Exponentiation(MicroKernelExpr):
 
-            @property
-            def opstr(self):
-                return '**'
+class Add(MicroKernelExpr):
+    opstr = '+'
+    _op = staticmethod(operator.add)
 
-            @property
-            def name(self):
-                return 'Exponentiation'
+    @staticmethod
+    def _partials(f1, f2):
+        return 1.0, 1.0
 
-            def __call__(self, i, j, jac=False):
-                if jac is True:
-                    f1, J1 = self.k1(i, j, True)
-                    f2, J2 = self.k2(i, j, True)
-                    return (f1**f2, np.concatenate([
-                        np.asarray(
-                            [f2 * f1**(f2 - 1) * j1 for j1 in J1],
-                            dtype=float
-                        ),
-                        np.asarray(
-                            [f1**f2 * np.log(f1) * j2 for j2 in J2],
-                            dtype=float
-                        )
-                    ]))
-                else:
-                    return self.k1(i, j, False)**self.k2(i, j, False)
 
-            def apply(self, theta, X, Y):
-                t1, t2 = self._split(theta)
-                return self.k1.apply(t1, X, Y) ** self.k2.apply(t2, X, Y)
+class Multiply(MicroKernelExpr):
+    opstr = '*'
+    _op = staticmethod(operator.mul)
 
-            @property
-            def minmax(self):
-                return tuple(starmap(
-                    operator.pow, zip(k1.minmax, k2.minmax)
-                ))
+    @staticmethod
+    def _partials(f1, f2):
+        return f2, f1
 
-        return Exponentiation(k1, k2)
+
+class Exponentiation(MicroKernelExpr):
+    opstr = '**'
+    _op = staticmethod(operator.pow)
+
+    @staticmethod
+    def _partials(f1, f2):
+        return f2 * f1 ** (f2 - 1), f1 ** f2 * np.log(f1)
 
 
 def Constant(c, c_bounds='fixed'):
