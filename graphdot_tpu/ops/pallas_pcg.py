@@ -80,6 +80,11 @@ def _make_mm(mode):
 # _MAX_BLOCK_PAIRS pairs per program. Pairs whose working set exceeds
 # _RESIDENT_PAIR_LIMIT switch to the streaming kernel (T in HBM).
 _VMEM_LIMIT = 100 << 20
+# CG steps per while-loop trip in the resident kernels. Measured on
+# v5e (128-molecule bench, auto pack): 1 -> 645k pairs/s, 2 -> 676k,
+# 3 -> 667k; the win is fewer loop-control + convergence reductions,
+# the eventual loss is redundant masked steps after convergence.
+_DEFAULT_UNROLL = 2
 _VMEM_BUDGET = 48 << 20
 _MAX_BLOCK_PAIRS = 16
 _RESIDENT_PAIR_LIMIT = 48 << 20
@@ -146,11 +151,20 @@ def _best_pack(P, M1, M2, N1, N2):
 
 
 def _cg_solve_values(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b,
-                     tol, maxiter, mode):
+                     tol, maxiter, mode, unroll=1):
     """The batched VMEM-resident Jacobi-PCG loop on materialized values;
     shared by the plain and the packing kernels. ``tol`` is [B, 1, 1].
     ``done`` is carried as a float mask (1.0 = converged): boolean
-    vectors in while-loop carries fail Mosaic legalization."""
+    vectors in while-loop carries fail Mosaic legalization.
+
+    ``unroll``: CG steps per while-loop trip. The extra steps are
+    "light" — they keep the breakdown guard but skip the convergence
+    test and its residual-norm reduction, so converged pairs may run up
+    to ``unroll - 1`` extra (masked-no-op-on-x) steps; the fixed point
+    is unchanged. This trades a bounded amount of redundant arithmetic
+    for fewer loop-control + convergence reductions per iteration —
+    profitable when the kernel is control-bound (molecule-sized pairs).
+    """
     mm = _make_mm(mode)
 
     def matvec(y):
@@ -182,8 +196,7 @@ def _cg_solve_values(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b,
         _, _, _, _, done, it = state
         return (it < maxiter) & (jnp.sum(done) < done.shape[0])
 
-    def body(state):
-        x, r, p, rz, done, it = state
+    def cg_step(x, r, p, rz, done, check_conv):
         Ap = matvec(p)
         pAp = psum(p * Ap)
         bad = ((pAp == 0.0) | (rz == 0.0)).astype(jnp.float32)
@@ -193,13 +206,24 @@ def _cg_solve_values(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b,
         r = r - alpha * Ap
         z = precond * r
         rz_new = psum(r * z)
-        rr = psum(r * r)
-        conv = (jnp.sqrt(rr) < tol).astype(jnp.float32)
-        done_new = jnp.maximum(done, jnp.maximum(bad, conv))
+        if check_conv:
+            rr = psum(r * r)
+            conv = (jnp.sqrt(rr) < tol).astype(jnp.float32)
+            done_new = jnp.maximum(done, jnp.maximum(bad, conv))
+        else:
+            done_new = jnp.maximum(done, bad)
         beta = (1.0 - done_new) * rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
         rz = done_new * rz + (1.0 - done_new) * rz_new
-        return (x, r, p, rz, done_new, it + 1)
+        return x, r, p, rz, done_new
+
+    def body(state):
+        x, r, p, rz, done, it = state
+        for _ in range(unroll - 1):
+            x, r, p, rz, done = cg_step(x, r, p, rz, done,
+                                        check_conv=False)
+        x, r, p, rz, done = cg_step(x, r, p, rz, done, check_conv=True)
+        return (x, r, p, rz, done, it + unroll)
 
     x, _, _, _, _, _ = lax.while_loop(cond, body, state0)
     return x
@@ -207,11 +231,11 @@ def _cg_solve_values(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b,
 
 def _pcg_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
                 diag_ref, precond_ref, b_ref, tol_ref, maxiter_ref,
-                x_ref, *, mode):
+                x_ref, *, mode, unroll=1):
     x_ref[:] = _cg_solve_values(
         T_ref[:], ohs1_ref[:], ohd1_ref[:], ohs2_ref[:], ohd2_ref[:],
         diag_ref[:], precond_ref[:], b_ref[:],
-        tol_ref[:, :, 0:1], maxiter_ref[0], mode
+        tol_ref[:, :, 0:1], maxiter_ref[0], mode, unroll=unroll
     )
 
 
@@ -219,7 +243,7 @@ def _pcg_pack_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
                      diag_ref, precond_ref, b_ref, tol_ref,
                      maxiter_ref, x_ref,
                      Tp, s1p, d1p, s2p, d2p, dgp, pcp, bp,
-                     *, mode, k):
+                     *, mode, k, unroll=1):
     """Resident kernel with in-VMEM block-diagonal pair packing.
 
     Inputs arrive compact ([B, k, ...] — one slot per packed member);
@@ -252,7 +276,7 @@ def _pcg_pack_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
 
     x = _cg_solve_values(
         Tp[:], s1p[:], d1p[:], s2p[:], d2p[:], dgp[:], pcp[:], bp[:],
-        tol_ref[:, :, 0:1], maxiter_ref[0], mode
+        tol_ref[:, :, 0:1], maxiter_ref[0], mode, unroll=unroll
     )
     for i in range(k):
         x_ref[:, i] = x[:, i * N1:(i + 1) * N1, i * N2:(i + 1) * N2]
@@ -287,6 +311,10 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
     # experiment hook: max pairs per Pallas program
     max_block = int(os.environ.get(
         'GRAPHDOT_PALLAS_BLOCK_PAIRS', _MAX_BLOCK_PAIRS))
+    # CG steps per while-loop trip (see _cg_solve_values); >1 trades a
+    # bounded amount of redundant masked arithmetic for fewer
+    # loop-control/convergence reductions
+    unroll = int(os.environ.get('GRAPHDOT_PALLAS_UNROLL', _DEFAULT_UNROLL))
     if pack == 'auto':
         k = 1 if interpret else _best_pack(P, M1, M2, N1, N2)
     else:
@@ -316,7 +344,7 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
             x = pallas_pcg(
                 *ops, b, tol_p,
                 block_pairs=B, maxiter=maxiter_k, interpret=interpret,
-                mode=mode
+                mode=mode, unroll=unroll
             )
             return x[:P].reshape(P, N1 * N2)
 
@@ -333,7 +361,7 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
         x = pallas_pcg_packed(
             *ops, b, tol_g,
             block_pairs=B, k=k, maxiter=maxiter_k,
-            interpret=interpret, mode=mode
+            interpret=interpret, mode=mode, unroll=unroll
         )
         return x.reshape(P_pad, N1, N2)[:P].reshape(P, N1 * N2)
 
@@ -342,11 +370,12 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('block_pairs', 'maxiter', 'interpret', 'mode')
+    static_argnames=('block_pairs', 'maxiter', 'interpret', 'mode',
+                     'unroll')
 )
 def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
                block_pairs=16, maxiter=1024, interpret=False,
-               mode='split2'):
+               mode='split2', unroll=1):
     """Solve the batched product-graph systems with the fused kernel.
 
     Parameters
@@ -385,7 +414,7 @@ def pallas_pcg(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
                             + N1 * M2 * N2) * passes
 
     return pl.pallas_call(
-        functools.partial(_pcg_kernel, mode=mode),
+        functools.partial(_pcg_kernel, mode=mode, unroll=unroll),
         grid=grid,
         in_specs=[
             specs((M1, M2)),         # T
@@ -743,11 +772,12 @@ def pallas_pcg_stream(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('block_pairs', 'k', 'maxiter', 'interpret', 'mode')
+    static_argnames=('block_pairs', 'k', 'maxiter', 'interpret', 'mode',
+                     'unroll')
 )
 def pallas_pcg_packed(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
                       block_pairs=16, k=4, maxiter=1024,
-                      interpret=False, mode='split2'):
+                      interpret=False, mode='split2', unroll=1):
     """Solve with block-diagonal pair packing assembled inside the
     kernel. All operands carry a compact member axis: T [S, k, M1, M2],
     one-hots [S, k, M, N], diag/precond/b [S, k, N1, N2], tol [S] (the
@@ -776,7 +806,8 @@ def pallas_pcg_packed(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
                             + kN1 * kM1 * kM2 + kN1 * kM2 * kN2) * passes
 
     return pl.pallas_call(
-        functools.partial(_pcg_pack_kernel, mode=mode, k=k),
+        functools.partial(_pcg_pack_kernel, mode=mode, k=k,
+                          unroll=unroll),
         grid=grid,
         in_specs=[
             specs(M1, M2),           # T (compact)
