@@ -29,6 +29,13 @@ from ..util.iterable import flatten
 _ONEHOT_BUDGET = 1 << 29
 
 
+def _np_one_hot(indices, depth):
+    """Host-side one-hot (f32). The incidence one-hots are static data;
+    see the note at their use sites."""
+    idx = np.asarray(indices)
+    return (idx[..., None] == np.arange(depth)).astype(np.float32)
+
+
 def _as_jnp_tree(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
@@ -119,17 +126,18 @@ class GramFactory:
             if mode != 'dense':
                 m_pad = batch.esrc.shape[1]
                 if 4 * 4 * n_pairs * m_pad * self._n_pad < _ONEHOT_BUDGET:
-                    oh_src = jax.nn.one_hot(
-                        jnp.asarray(batch.esrc), self._n_pad,
-                        dtype=jnp.float32)
-                    oh_dst = jax.nn.one_hot(
-                        jnp.asarray(batch.edst), self._n_pad,
-                        dtype=jnp.float32)
+                    # numpy, not eager jnp: the one-hots are static, and
+                    # building them op-by-op through a remote-device
+                    # tunnel costs ~0.4 s per dispatched op
+                    oh_src = _np_one_hot(batch.esrc, self._n_pad)
+                    oh_dst = _np_one_hot(batch.edst, self._n_pad)
+                    iu_h = np.asarray(self._iu)
+                    ju_h = np.asarray(self._ju)
                     self._onehots = {
-                        'oh_src_1': oh_src[self._iu],
-                        'oh_dst_1': oh_dst[self._iu],
-                        'oh_src_2': oh_src[self._ju],
-                        'oh_dst_2': oh_dst[self._ju],
+                        'oh_src_1': jnp.asarray(oh_src[iu_h]),
+                        'oh_dst_1': jnp.asarray(oh_dst[iu_h]),
+                        'oh_src_2': jnp.asarray(oh_src[ju_h]),
+                        'oh_dst_2': jnp.asarray(oh_dst[ju_h]),
                     }
 
     # ------------------------------------------------------------------
@@ -216,13 +224,15 @@ class GramFactory:
                 'onehots': {},
             }
             if self._mode != 'dense' and within_budget:
-                for side, (bd, ck) in enumerate(
-                        [(cbatches[ca], ca), (cbatches[cb], cb)]):
-                    idx = grp['idx1'] if side == 0 else grp['idx2']
+                for side, (bd, ck, loc) in enumerate(
+                        [(cbatches[ca], ca, la), (cbatches[cb], cb, lb)]):
                     for nm in ('src', 'dst'):
-                        oh = jax.nn.one_hot(
-                            bd['e' + nm][idx], ck, dtype=jnp.float32)
-                        grp['onehots'][f'oh_{nm}_{side + 1}'] = oh
+                        # numpy: static data, and eager jnp ops cost
+                        # ~0.4 s each through a remote-device tunnel
+                        oh = _np_one_hot(
+                            np.asarray(bd['e' + nm])[loc], ck)
+                        grp['onehots'][f'oh_{nm}_{side + 1}'] = \
+                            jnp.asarray(oh)
             self._groups.append(grp)
 
     # ------------------------------------------------------------------

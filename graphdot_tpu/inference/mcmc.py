@@ -134,8 +134,12 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
             inv_mass, k_eps
         )
 
-    @partial(jax.jit, static_argnames=('adapt_mass',))
+    @jax.jit
     def one_adapt_step(key, states, da, welford, inv_mass, adapt_mass):
+        # adapt_mass is a traced boolean (masked Welford update) so both
+        # warmup window flavors share ONE compiled program — these
+        # NUTS-loop executables are by far the most expensive compiles
+        # of a sampling run
         keys = jax.random.split(key, states.q.shape[0])
         eps = jnp.exp(da.log_step)
         new_states, infos = jax.vmap(
@@ -144,11 +148,13 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
         da = da_update(
             da, jnp.mean(infos['accept_prob']), target=target_accept
         )
-        if adapt_mass:
-            welford = jax.vmap(welford_update)(welford, new_states.q)
+        updated = jax.vmap(welford_update)(welford, new_states.q)
+        welford = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(adapt_mass, a, b), updated, welford
+        )
         return new_states, da, welford
 
-    @partial(jax.jit, static_argnames=('adapt_mass',))
+    @jax.jit
     def run_window_scan(rng, states, da, welford, inv_mass, n_steps,
                         adapt_mass):
         # n_steps is a traced scalar so that every warmup window reuses
@@ -158,8 +164,7 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
             states, da, welford = carry
             key = jax.random.fold_in(rng, i)
             return one_adapt_step(
-                key, states, da, welford, inv_mass,
-                adapt_mass=adapt_mass
+                key, states, da, welford, inv_mass, adapt_mass
             )
 
         states, da, welford = jax.lax.fori_loop(
@@ -169,15 +174,15 @@ def sample(logp_fn, rng, n_chains=4, n_warmup=300, n_samples=500,
 
     def run_window(rng, states, da, welford, inv_mass, n_steps,
                    adapt_mass):
+        adapt_mass = jnp.asarray(adapt_mass)
         if loop == 'scan':
             return run_window_scan(
-                rng, states, da, welford, inv_mass, n_steps,
-                adapt_mass=adapt_mass
+                rng, states, da, welford, inv_mass, n_steps, adapt_mass
             )
         for i in range(int(n_steps)):
             states, da, welford = one_adapt_step(
                 jax.random.fold_in(rng, i), states, da, welford,
-                inv_mass, adapt_mass=adapt_mass
+                inv_mass, adapt_mass
             )
         return states, da, welford
 
