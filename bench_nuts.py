@@ -54,18 +54,30 @@ def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
     )
     t_warm = time.perf_counter() - t0
 
-    # steady-state: resume with fixed step size / mass (no warmup)
+    # steady-state: resume with fixed step size / mass (no warmup).
+    # min over repeats: wall time through the tunnel varies >2x when
+    # the 2-core host is contended, at identical device work
     from graphdot_tpu.inference import resume_state
     init2, step_size, inv_mass = resume_state(out)
-    t0 = time.perf_counter()
-    out2 = sample(
-        logprob, jax.random.PRNGKey(1), n_chains=n_chains,
-        n_samples=n_samples, init=jnp.asarray(init2),
-        step_size=step_size, inv_mass=inv_mass, max_depth=max_depth
-    )
-    dt = time.perf_counter() - t0
+    dt = float('inf')
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out2 = sample(
+            logprob, jax.random.PRNGKey(1 + rep), n_chains=n_chains,
+            n_samples=n_samples, init=jnp.asarray(init2),
+            step_size=step_size, inv_mass=inv_mass, max_depth=max_depth
+        )
+        dt = min(dt, time.perf_counter() - t0)
     total = n_chains * n_samples
     sps = total / dt
+
+    # quality-adjusted throughput: raw draws/s depends strongly on the
+    # adapted (step size, mass) — a too-large step size yields shallow
+    # trees that draw fast but mix poorly. Bulk ESS/s is invariant to
+    # that trade and is the number to track across rounds.
+    from graphdot_tpu.inference.diagnostics import ess
+    ess_min = float(np.min(ess(np.asarray(out2['samples']))))
+    mean_accept = float(np.mean(np.asarray(out2['accept_prob'])))
 
     print(json.dumps({
         'metric': f'NUTS samples/s ({n_graphs}-molecule GPR posterior, '
@@ -77,6 +89,8 @@ def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
     print(
         f'# warmup+compile {t_warm:.1f}s; sampling {dt:.2f}s for {total} '
         f'draws; step_size={float(step_size):.4f}; '
+        f'min-ESS {ess_min:.0f} ({ess_min / dt:.1f} ESS/s); '
+        f'mean accept {mean_accept:.2f}; '
         f'platform={jax.devices()[0].platform}',
         file=sys.stderr
     )
