@@ -173,7 +173,8 @@ class MarginalizedGraphKernel:
         Cached globally by kernel structure so that clones and sweeps with
         different theta values share one compiled program."""
         key = (
-            bool(nodal), bool(grad), self.backend.mode,
+            bool(nodal), grad if isinstance(grad, str) else bool(grad),
+            self.backend.mode,
             _kernel_structure(self.node_kernel),
             _kernel_structure(self.edge_kernel),
             type(self.p).__name__,
@@ -237,7 +238,23 @@ class MarginalizedGraphKernel:
             else:
                 return jnp.sum(R, axis=(1, 2))
 
-        if grad:
+        if grad == 'hotspot':
+            # gradient of ONE nodal entry per pair (the reference
+            # evaluates FD gradients only at MaxiMin hotspots,
+            # _backend.cu:190-403): gather the per-pair hotspot before
+            # differentiating so the forward tangents never materialize
+            # (nor transfer) the [P, n, n, n_theta] nodal jacobian.
+            def fn(theta, batch1, batch2, idx1, idx2, gtol,
+                   p_fixed1, p_fixed2, h1, h2, lmin):
+                def hot(t):
+                    R = core(
+                        t, batch1, batch2, idx1, idx2, gtol, p_fixed1,
+                        p_fixed2, lmin
+                    )
+                    return R[jnp.arange(R.shape[0]), h1, h2]
+                return jax.jacfwd(hot)(theta)
+            jitted = jax.jit(fn, static_argnames=('lmin',))
+        elif grad:
             # value + jacobian in one pass; forward-mode costs one extra
             # implicit solve per hyperparameter — the exact analogue of the
             # reference's simultaneous dual-RHS solve, but for every theta.
@@ -361,6 +378,33 @@ class MarginalizedGraphKernel:
             return out, np.concatenate(grads, axis=0)
         return out, None
 
+    def _run_chunks_hotspot(self, fn, theta, bd1, bd2, pf1, pf2,
+                            i_jobs, j_jobs, h1, h2, chunk, lmin):
+        """Run the hotspot-gradient solve over fixed-size job chunks;
+        returns [P, n_theta] numpy gradients."""
+        gtol = np.float32(self.gtol)
+        P = len(i_jobs)
+        grads = []
+        for s in range(0, P, chunk):
+            sl = slice(s, s + chunk)
+            idx1 = np.asarray(i_jobs[sl], dtype=np.int32)
+            idx2 = np.asarray(j_jobs[sl], dtype=np.int32)
+            hc1 = np.asarray(h1[sl], dtype=np.int32)
+            hc2 = np.asarray(h2[sl], dtype=np.int32)
+            pad = chunk - len(idx1) if P > chunk else 0
+            if pad > 0:
+                idx1, idx2, hc1, hc2 = (
+                    np.pad(a, (0, pad)) for a in (idx1, idx2, hc1, hc2))
+            jac = np.asarray(fn(
+                theta, bd1, bd2, jnp.asarray(idx1), jnp.asarray(idx2),
+                gtol, pf1, pf2, jnp.asarray(hc1), jnp.asarray(hc2),
+                lmin=lmin
+            ))
+            if pad > 0:
+                jac = jac[:len(jac) - pad]
+            grads.append(jac)
+        return np.concatenate(grads, axis=0)
+
     def _size_classes(self, graphs, align=8):
         """Partition graph indices into padded-size classes."""
         classes = {}
@@ -411,6 +455,64 @@ class MarginalizedGraphKernel:
                 )
             except Exception as retry_error:
                 raise retry_error from e
+
+    def _solve_hotspot_grads(self, graphs, i_jobs, j_jobs, h1, h2,
+                             lmin):
+        """Per-job hyperparameter gradients of one nodal entry
+        (``R[p, h1_p, h2_p]``) each — [P, n_theta] numpy. Used by the
+        MaxiMin hotspot gradient; follows the same size-class bucketing
+        as :meth:`_solve_jobs_impl`."""
+        fn = self._core_fn(nodal=True, grad='hotspot')
+        theta = self._theta_vector()
+        i_jobs = np.asarray(i_jobs, dtype=np.int64)
+        j_jobs = np.asarray(j_jobs, dtype=np.int64)
+        h1 = np.asarray(h1, dtype=np.int64)
+        h2 = np.asarray(h2, dtype=np.int64)
+
+        classes = self._size_classes(graphs) if self.buckets else None
+        if not classes or len(classes) <= 1:
+            batch, batch_dict, p_fixed = self._prepare_batch(graphs)
+            chunk = self._chunk_size(
+                batch.node_mask.shape[1], batch.esrc.shape[1],
+                eval_gradient=True, nodal=False)
+            return self._run_chunks_hotspot(
+                fn, theta, batch_dict, batch_dict, p_fixed, p_fixed,
+                i_jobs, j_jobs, h1, h2, chunk, lmin)
+
+        class_of = np.empty(len(graphs), dtype=np.int64)
+        local_of = np.empty(len(graphs), dtype=np.int64)
+        batches = {}
+        for ck, members in classes.items():
+            for li, gi in enumerate(members):
+                class_of[gi] = ck
+                local_of[gi] = li
+            batches[ck] = self._prepare_batch(
+                [graphs[gi] for gi in members])
+
+        groups = {}
+        for p, (gi, gj) in enumerate(zip(i_jobs, j_jobs)):
+            ca, cb = class_of[gi], class_of[gj]
+            swap = ca > cb
+            key = (min(ca, cb), max(ca, cb))
+            a, b = (gj, gi) if swap else (gi, gj)
+            # a swapped job computes R[gj, gi]: its hotspot transposes
+            ha, hb = (h2[p], h1[p]) if swap else (h1[p], h2[p])
+            groups.setdefault(key, []).append(
+                (p, local_of[a], local_of[b], ha, hb))
+
+        grad = np.empty((len(i_jobs), len(theta)))
+        for (ca, cb), entries in groups.items():
+            _, bd1, pf1 = batches[ca]
+            batch_b, bd2, pf2 = batches[cb]
+            m_pad = max(
+                batches[ca][0].esrc.shape[1], batch_b.esrc.shape[1])
+            chunk = self._chunk_size(
+                cb, m_pad, eval_gradient=True, nodal=False)
+            ps, l1, l2, ha, hb = map(np.asarray, zip(*entries))
+            grad[ps] = self._run_chunks_hotspot(
+                fn, theta, bd1, bd2, pf1, pf2, l1, l2, ha, hb, chunk,
+                lmin)
+        return grad
 
     def _solve_jobs_impl(self, graphs, i_jobs, j_jobs, nodal, lmin,
                          eval_gradient, timer=None):

@@ -9,6 +9,8 @@ tie-breaking, and the hotspot-restricted gradient are *batched masked
 reductions* over all pairs of a padded-shape group at once — no per-pair
 Python loop (round-3 rewrite of the round-2 host loop).
 """
+import warnings
+
 import numpy as np
 
 from ...graph import Graph
@@ -68,20 +70,34 @@ class MaxiMin(MarginalizedGraphKernel):
         hot = np.maximum(hot, 0)
         return dh, hot // n2, hot % n2
 
-    def _hotspot_gradient(self, ks, dks, k1, k2, dk1, dk2, dh, i1, i2):
-        """Analytic gradient of the maximin distance, evaluated only at
-        the hotspot node pair of each stacked pair (the reference
-        evaluates FD gradients there, ``_backend.cu:190-403``)."""
-        P = len(dh)
-        rows = np.arange(P)
-        k12h = ks[rows, i1, i2]
-        k1h, k2h = k1[rows, i1], k2[rows, i2]
-        dk12h = dks[rows, i1, i2, :]
+    def _hotspot_grad_jobs(self, graphs, i_jobs, j_jobs, h1, h2, lmin):
+        """Hotspot-entry gradients with the same one-shot backend
+        demotion as :meth:`_solve_jobs`."""
+        try:
+            return self._solve_hotspot_grads(
+                graphs, i_jobs, j_jobs, h1, h2, lmin)
+        except Exception as e:
+            if not self._is_compile_failure(e) or \
+                    not self.backend.fall_back():
+                raise
+            warnings.warn(
+                f'backend failed to compile with {type(e).__name__} '
+                f'({str(e).splitlines()[0][:500]}); retrying with the '
+                f'{self.backend.mode!r} backend'
+            )
+            return self._solve_hotspot_grads(
+                graphs, i_jobs, j_jobs, h1, h2, lmin)
+
+    def _hotspot_gradient(self, k12h, dk12h, k1h, k2h, dk1h, dk2h, dh):
+        """Analytic gradient of the maximin distance from flat per-job
+        hotspot quantities (the reference evaluates FD gradients at the
+        hotspots, ``_backend.cu:190-403``; here the hotspot entry's
+        exact gradient comes from one gathered-jacfwd solve pass)."""
         geo = np.sqrt(k1h * k2h)
         d_ratio = (
             dk12h / geo[:, None]
             - (0.5 * k12h / geo ** 3)[:, None]
-            * (dk1[rows, i1] * k2h[:, None] + k1h[:, None] * dk2[rows, i2])
+            * (dk1h * k2h[:, None] + k1h[:, None] * dk2h)
         )
         return -d_ratio * (0.5 / (dh + self._grad_eps))[:, None]
 
@@ -139,24 +155,28 @@ class MaxiMin(MarginalizedGraphKernel):
             i_jobs, j_jobs = np.indices((nX, nY))
             j_jobs = j_jobs + nX
         i_jobs, j_jobs = i_jobs.ravel(), j_jobs.ravel()
+        # values only — gradients are evaluated afterwards at the
+        # hotspots alone, so the full nodal jacobian is never built
         raw = self._solve_jobs(
             all_graphs, i_jobs, j_jobs, nodal=True, lmin=lmin,
-            eval_gradient=eval_gradient
+            eval_gradient=False
         )
-        if eval_gradient:
-            raw, raw_grad = raw
         timer.toc('nodal cross similarities')
 
         timer.tic('maximin reduction')
+        P = len(i_jobs)
         distance = np.zeros((nX, nY), dtype=np.float64)
         hotspot = np.full((nX, nY), -1, dtype=np.int64)
-        gradient = (
-            np.zeros((nX, nY, self.n_dims)) if eval_gradient else None
-        )
+        dh_all = np.zeros(P)
+        hot1 = np.zeros(P, dtype=np.int64)
+        hot2 = np.zeros(P, dtype=np.int64)
+        k12h = np.zeros(P)
+        k1h = np.ones(P)
+        k2h = np.ones(P)
 
         # group jobs by padded block shape, reduce each group at once
         by_shape = {}
-        for p in range(len(i_jobs)):
+        for p in range(P):
             by_shape.setdefault(raw[p].shape, []).append(p)
 
         def fit_width(M, width, fill):
@@ -181,20 +201,32 @@ class MaxiMin(MarginalizedGraphKernel):
             col = gj - nX if not symmetric else gj
             distance[gi, col] = dh
             hotspot[gi, col] = i1 * n2 + i2
-            if eval_gradient:
-                dks = np.stack([raw_grad[p] for p in ps])
-                grad = self._hotspot_gradient(
-                    ks, dks, k1, k2,
-                    fit_width(dk_self[gi], a, 0.0),
-                    fit_width(dk_self[gj], b, 0.0), dh, i1, i2)
-                gradient[gi, col] = grad
+            rows = np.arange(len(ps))
+            dh_all[ps] = dh
+            hot1[ps], hot2[ps] = i1, i2
+            k12h[ps] = ks[rows, i1, i2]
+            k1h[ps], k2h[ps] = k1[rows, i1], k2[rows, i2]
             if symmetric:
                 off = gi != gj
                 distance[gj[off], gi[off]] = dh[off]
                 hotspot[gj[off], gi[off]] = (i2 * n1 + i1)[off]
-                if eval_gradient:
-                    gradient[gj[off], gi[off]] = grad[off]
         timer.toc('maximin reduction')
+
+        gradient = None
+        if eval_gradient:
+            timer.tic('hotspot gradients')
+            dk12 = self._hotspot_grad_jobs(
+                all_graphs, i_jobs, j_jobs, hot1, hot2, lmin)
+            grad_rows = self._hotspot_gradient(
+                k12h, dk12, k1h, k2h,
+                dk_self[i_jobs, hot1], dk_self[j_jobs, hot2], dh_all)
+            gradient = np.zeros((nX, nY, self.n_dims))
+            col = j_jobs - nX if not symmetric else j_jobs
+            gradient[i_jobs, col] = grad_rows
+            if symmetric:
+                off = i_jobs != j_jobs
+                gradient[j_jobs[off], i_jobs[off]] = grad_rows[off]
+            timer.toc('hotspot gradients')
 
         if timing:
             timer.report(unit='ms')
