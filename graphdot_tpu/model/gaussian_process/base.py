@@ -82,6 +82,70 @@ class GaussianProcessRegressorBase:
         raise RuntimeError(
             f'Unknown regularization method {self.regularization}.')
 
+    def _make_factory_engine(self, kernel, X):
+        """A GramFactory-backed ``engine(theta_log, jac)`` evaluating the
+        (optionally normalized) training Gram and its theta jacobian as
+        ONE jitted device program — the fast path for ``fit`` on graph
+        datasets, replacing one host-dispatched chunked solve pass per
+        optimizer iteration. Returns None when the kernel/dataset shape
+        does not qualify (non-graph inputs, exotic kernels, options)."""
+        if os.environ.get('GRAPHDOT_GPR_ENGINE', '1') == '0':
+            return None
+        if self.kernel_options:
+            return None
+        from ...kernel.fix import Normalization
+        from ...kernel.marginalized import MarginalizedGraphKernel
+        if (type(kernel) is Normalization
+                and type(kernel.kernel) is MarginalizedGraphKernel):
+            inner, normalize = kernel.kernel, True
+        elif type(kernel) is MarginalizedGraphKernel:
+            inner, normalize = kernel, False
+        else:
+            return None
+        if len(X) == 0 or not all(hasattr(g, 'nodes') for g in X):
+            return None
+        try:
+            from ...inference import GramFactory
+            factory = GramFactory(inner, list(X), normalize=normalize)
+            if not np.allclose(factory.theta0, kernel.theta):
+                return None
+        except Exception:
+            return None
+
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def k_jit(t):
+            return factory.gram(t)
+
+        @jax.jit
+        def kj_jit(t):
+            K = factory.gram(t)
+            # jacfwd is over LOG theta; downstream (chain_to_theta)
+            # expects linear-theta jacobians, so unchain here on device
+            dK = jax.jacfwd(factory.gram)(t) / jnp.exp(t)[None, None, :]
+            return K, dK
+
+        def engine(theta_log, jac):
+            t = jnp.asarray(theta_log, dtype=jnp.float32)
+            if jac:
+                K, dK = kj_jit(t)
+                return (np.asarray(K, dtype=float),
+                        np.asarray(dK, dtype=float))
+            return np.asarray(k_jit(t), dtype=float)
+
+        return engine
+
+    def _engine_gramian(self, alpha, theta_log, jac):
+        """Training Gram (and jacobian) through the factory engine, with
+        the same diagonal regularization as :meth:`_gramian`."""
+        out = self._engine(theta_log, jac)
+        K = out[0] if jac else out
+        idx = np.diag_indices_from(K)
+        K[idx] = self._regularize(K[idx], alpha)
+        return out
+
     def _gramian(self, alpha, X, Y=None, kernel=None, jac=False,
                  diag=False):
         """Kernel matrix (or diagonal) between X and Y; the training

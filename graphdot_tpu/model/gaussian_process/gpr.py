@@ -56,6 +56,15 @@ class GaussianProcessRegressor(GaussianProcessRegressorBase):
         loss ('likelihood' or 'loocv') first. Returns self."""
         self.X = X
         self.y = y
+        # device fast path: one jitted Gram(+jacobian) program per
+        # objective call instead of the host-dispatched chunked solves.
+        # Only worth its per-dataset compile when the optimizer will
+        # iterate the objective; one-shot fits keep the host path whose
+        # chunked programs are shared across datasets.
+        self._engine = (
+            self._make_factory_engine(self.kernel, self._X)
+            if self.optimizer and len(self._X) >= 16 else None
+        )
 
         if self.optimizer:
             try:
@@ -80,7 +89,10 @@ class GaussianProcessRegressor(GaussianProcessRegressorBase):
                     f'got:\n{best}')
             self.kernel.theta = best.x
 
-        K = self._gramian(self.alpha, self._X)
+        if self._engine is not None:
+            K = self._engine_gramian(self.alpha, self.kernel.theta, False)
+        else:
+            K = self._gramian(self.alpha, self._X)
         self._K_train = K = K[np.ix_(self._y_mask, self._y_mask)]
         self._K_inv, _, _ = obj.inverse(K, self.beta)
         self._weights = self._K_inv @ self._y
@@ -146,12 +158,21 @@ class GaussianProcessRegressor(GaussianProcessRegressorBase):
             kernel.theta = theta
 
         started = time.perf_counter()
+        engine = getattr(self, '_engine', None)
+        use_engine = engine is not None and X is self._X
         if eval_gradient:
-            K, dK = self._gramian(self.alpha, X, kernel=kernel, jac=True)
+            if use_engine:
+                K, dK = self._engine_gramian(self.alpha, theta, True)
+            else:
+                K, dK = self._gramian(
+                    self.alpha, X, kernel=kernel, jac=True)
             K = K[np.ix_(y_mask, y_mask)]
             dK = dK[np.ix_(y_mask, y_mask)]
         else:
-            K = self._gramian(self.alpha, X, kernel=kernel)
+            if use_engine:
+                K = self._engine_gramian(self.alpha, theta, False)
+            else:
+                K = self._gramian(self.alpha, X, kernel=kernel)
             K = K[np.ix_(y_mask, y_mask)]
             dK = None
         return theta, y, K, dK, time.perf_counter() - started

@@ -81,3 +81,41 @@ def test_gpr_predictions_match_oracle(q):
 
     assert np.allclose(m_tpu, m_ref, rtol=1e-4, atol=1e-4)
     assert np.allclose(s_tpu, s_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_gpr_factory_engine_matches_host_path():
+    """The GramFactory-backed fit engine (one jitted K+dK program) must
+    reproduce the host chunked-solve objective: same LML value and
+    gradient, and the same optimized theta through fit()."""
+    graphs = random_molecule_set(5, 10, n_atoms_range=(6, 12))
+    y = np.array([-1.0 * len(g.nodes) for g in graphs], dtype=float)
+    kernel = Normalization(MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.3)),
+        TensorProduct(length=SquareExponential(0.3)), q=0.05))
+    gpr = GaussianProcessRegressor(kernel=kernel, alpha=1e-3,
+                                   normalize_y=True)
+    gpr.X = graphs
+    gpr.y = y
+    gpr._engine = gpr._make_factory_engine(gpr.kernel, gpr._X)
+    assert gpr._engine is not None
+
+    t = kernel.theta
+    v1, g1 = gpr.log_marginal_likelihood(t, eval_gradient=True)
+    gpr._engine = None
+    v0, g0 = gpr.log_marginal_likelihood(t, eval_gradient=True)
+    assert v1 == pytest.approx(v0, rel=1e-4, abs=1e-4)
+    assert np.allclose(g1, g0, rtol=1e-3, atol=1e-3)
+
+
+def test_gpr_engine_ineligible_inputs():
+    """Non-graph data and option-carrying kernels bypass the engine."""
+    kernel = Normalization(MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.3)),
+        TensorProduct(length=SquareExponential(0.3)), q=0.05))
+    gpr = GaussianProcessRegressor(kernel=kernel, alpha=1e-3)
+    assert gpr._make_factory_engine(
+        kernel, np.random.rand(5, 3)) is None
+    gpr_opt = GaussianProcessRegressor(
+        kernel=kernel, alpha=1e-3, kernel_options={'nodal': False})
+    graphs = random_molecule_set(5, 4, n_atoms_range=(6, 10))
+    assert gpr_opt._make_factory_engine(kernel, graphs) is None
