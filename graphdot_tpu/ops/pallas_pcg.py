@@ -258,8 +258,18 @@ def _pcg_pack_kernel(T_ref, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
     N1 = ohs1_ref.shape[3]
     N2 = ohs2_ref.shape[3]
 
-    for ref in (Tp, s1p, d1p, s2p, d2p, dgp, pcp, bp):
-        ref[:] = jnp.zeros_like(ref)
+    # The packed scratch is written in the same diagonal-block pattern by
+    # every grid program, so the off-diagonal zeros survive from program
+    # to program: zero the scratch once, in the first program, instead of
+    # per program (TPU grid programs run sequentially on one core and
+    # scratch persists across them — the standard Pallas accumulator
+    # idiom). On the bench workload the per-program zero-fill was a
+    # measurable slice of the ~2.5 ms non-iteration kernel cost.
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_scratch():
+        for ref in (Tp, s1p, d1p, s2p, d2p, dgp, pcp, bp):
+            ref[:] = jnp.zeros_like(ref)
+
     for i in range(k):
         r1 = slice(i * M1, (i + 1) * M1)
         r2 = slice(i * M2, (i + 1) * M2)
