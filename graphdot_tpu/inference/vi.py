@@ -37,7 +37,10 @@ def advi(logp_fn, rng, init, n_steps=1000, n_mc=8, learning_rate=1e-2):
         )
         return jnp.mean(logps) + entropy
 
-    opt = optax.adam(learning_rate)
+    opt = optax.chain(
+        optax.clip_by_global_norm(100.0),
+        optax.adam(learning_rate),
+    )
     opt_state = opt.init(params)
 
     @jax.jit
@@ -45,9 +48,19 @@ def advi(logp_fn, rng, init, n_steps=1000, n_mc=8, learning_rate=1e-2):
         loss, grads = jax.value_and_grad(
             lambda p: -elbo(p, key)
         )(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, -loss
+        # reject non-finite steps: an MC draw landing in a region where
+        # the log density (or its gradient) overflows must not poison
+        # the variational parameters — keep the previous state and move
+        # on to the next minibatch of draws
+        ok = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        new_updates, new_opt_state = opt.update(grads, opt_state)
+        new_params = optax.apply_updates(params, new_updates)
+        keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        return (keep(new_params, params),
+                keep(new_opt_state, opt_state), -loss)
 
     history = []
     for i in range(n_steps):

@@ -52,7 +52,7 @@ def scan_time(factory, theta0, W=10, n_rep=7):
     return float(np.min(times)) / W
 
 
-def build(ftol=None, maxiter=None):
+def build(graphs, ftol=None, maxiter=None):
     kw = {} if ftol is None else {'ftol': ftol}
     kernel = MarginalizedGraphKernel(
         TensorProduct(element=KroneckerDelta(0.2)),
@@ -80,7 +80,7 @@ if __name__ == '__main__':
     PP.pallas_pcg_solver = identity_solver
     S.pallas_pcg_solver = identity_solver  # in case of direct import
     try:
-        factory, theta0 = build()
+        factory, theta0 = build(graphs)
         dt0 = scan_time(factory, theta0)
     finally:
         PP.pallas_pcg_solver = orig
@@ -88,15 +88,29 @@ if __name__ == '__main__':
     print(f'no-CG gram:   {dt0 * 1e3:7.2f} ms/build')
 
     # 2. production gram
-    factory, theta0 = build()
+    factory, theta0 = build(graphs)
     dtp = scan_time(factory, theta0)
     print(f'full gram:    {dtp * 1e3:7.2f} ms/build '
           f'({n_pairs / dtp:,.0f} pairs/s)')
 
-    # 3. forced-iteration sweep
+    # 3. forced-iteration sweep. NOTE on units: pallas_pcg_solver scales
+    # the requested cap by each group's pack factor (maxiter_k =
+    # maxiter * k), so one "maxiter unit" executes up to k packed CG
+    # iterations; the slope below is per maxiter UNIT, not per raw CG
+    # step. Print the pack factors so the reader can divide.
+    ks = sorted({
+        PP._best_pack(
+            0x7fffffff,
+            grp['batch1']['esrc'].shape[1] if 'esrc' in grp['batch1']
+            else 0,
+            grp['batch2']['esrc'].shape[1] if 'esrc' in grp['batch2']
+            else 0,
+            grp['ca'], grp['cb'])
+        for grp in (factory._groups or [])
+    }) if factory._groups else []
     pts = []
     for mi in (2, 4, 8, 16):
-        factory, theta0 = build(ftol=0.0, maxiter=mi)
+        factory, theta0 = build(graphs, ftol=0.0, maxiter=mi)
         dt = scan_time(factory, theta0)
         pts.append((mi, dt))
         print(f'forced {mi:3d} it: {dt * 1e3:7.2f} ms/build')
@@ -104,4 +118,6 @@ if __name__ == '__main__':
     ts = np.array([p[1] for p in pts])
     slope, intercept = np.polyfit(its, ts, 1)
     print(f'fit: setup {intercept * 1e3:.2f} ms + '
-          f'{slope * 1e3:.3f} ms/iteration')
+          f'{slope * 1e3:.3f} ms/maxiter-unit '
+          f'(pack factors per group: {ks or [1]}; one unit runs up to '
+          f'k packed CG steps)')

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Record the NUTS posterior moments of the QM7 north-star tests into
+``tests/fixtures/posterior_moments.json`` (VERDICT r3 #7: committed
+posterior moments give later rounds a cross-round regression target,
+and — when run with a real ``qm7.mat`` in the working directory — pin
+the real-data posterior, not just the surrogate's).
+
+Run from the repo root:  python scripts/record_posterior_moments.py
+Add ``--slow`` to also record the full-length (slow-tier) variant.
+"""
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, 'tests'))
+
+FIXTURE = os.path.join(ROOT, 'tests', 'fixtures',
+                       'posterior_moments.json')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--slow', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    from graphdot_tpu import Graph
+    from graphdot_tpu.dataset.qm7_fixture import load_qm7
+    import test_qm7_parity as T
+
+    molecules, energies, source = load_qm7(n=32)
+    graphs = Graph.unify_datatype([
+        Graph.from_ase(m, use_pbc=False) for m in molecules
+    ])
+    qm7 = (graphs, energies, source)
+
+    variants = [dict(n_mol=5, n_warmup=40, n_samples=40,
+                     n_particles=48, advi_steps=150, max_depth=4)]
+    if args.slow:
+        variants.append(dict(n_mol=8, n_warmup=80, n_samples=80,
+                             n_particles=96, advi_steps=300,
+                             max_depth=5))
+
+    recorded = {}
+    if os.path.exists(FIXTURE):
+        with open(FIXTURE) as f:
+            recorded = json.load(f)
+
+    for kw in variants:
+        out = T._posterior_agreement(qm7, **kw)
+        recorded[out['key']] = {
+            'mean_nuts': out['mean_nuts'],
+            'se': out['se'],
+            'source': source,
+        }
+        print(f'recorded {out["key"]}: mean={out["mean_nuts"]}')
+
+    with open(FIXTURE, 'w') as f:
+        json.dump(recorded, f, indent=2)
+    print(f'wrote {FIXTURE}')
+
+
+if __name__ == '__main__':
+    main()
