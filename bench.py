@@ -115,6 +115,36 @@ def main():
     dt_call = timed(gram, theta0 + 1e-3)
     pairs_per_sec = n_pairs / dt_loop
 
+    # FLOP accounting / MFU (VERDICT r3 #1): measured per-pair CG
+    # iteration counts x the analytic matvec cost model, against the
+    # chip's bf16 MXU peak. 'useful' charges true graph dims at one
+    # pass per contraction; 'executed' charges what the fused kernel
+    # actually pushes through the MXU (padding, packing, 2-pass
+    # precision, whole-block iteration).
+    from graphdot_tpu.util.flops import device_peak_flops, \
+        gram_flop_report, load_iteration_stats
+    mfu_pct = mxu_pct = None
+    useful = executed = None
+    try:
+        # committed iteration-count cache (scripts/record_bench_iters.py)
+        # — recomputing live costs several fresh XLA compiles
+        stats = None
+        cache = os.path.join(os.path.dirname(__file__) or '.', 'tests',
+                             'fixtures', 'bench_iters_gram.npz')
+        if os.path.exists(cache):
+            stats = load_iteration_stats(cache)
+            if sum(g['n_jobs'] for g in stats) != n_pairs:
+                stats = None
+        rep = gram_flop_report(factory, theta0, stats=stats)
+        peak = device_peak_flops()
+        useful, executed = rep['useful_flops'], rep['executed_flops']
+        if peak:
+            mfu_pct = round(100.0 * useful / dt_loop / peak, 3)
+            if executed:
+                mxu_pct = round(100.0 * executed / dt_loop / peak, 2)
+    except Exception as e:                          # noqa: BLE001
+        print(f'# FLOP accounting unavailable: {e}', file=sys.stderr)
+
     # regression tracking: compare against the newest committed
     # BENCH_r*.json (driver artifacts of the previous rounds)
     vs_prev = None
@@ -136,16 +166,30 @@ def main():
                   'Tang2019 kernel, sustained)',
         'value': round(pairs_per_sec, 1),
         'unit': 'pairs/s',
-        'vs_baseline': 1.0,
+        # the reference publishes no absolute numbers to normalize
+        # against (BASELINE.md) — honest null rather than a token 1.0
+        'vs_baseline': None,
         'vs_prev_round': vs_prev,
+        'mfu_pct': mfu_pct,
+        'mxu_executed_pct': mxu_pct,
     }))
+    flops_note = ''
+    if useful is not None:
+        flops_note = (
+            f', useful={useful / 1e9:.2f} GFLOP/build'
+            + (f', executed={executed / 1e9:.2f} GFLOP/build'
+               if executed else '')
+            + (f', MFU={mfu_pct}%' if mfu_pct is not None else '')
+            + (f', MXU-executed={mxu_pct}% of peak'
+               if mxu_pct is not None else '')
+        )
     print(
         f'# details: {n_pairs} pairs, {dt_loop * 1e3:.1f} ms/build '
         f'sustained ({W}-build scan), {dt_call * 1e3:.1f} ms/call '
         f'host-dispatched, backend={backend}, '
         f'platform={jax.devices()[0].platform}, '
         f'device={jax.devices()[0].device_kind}'
-        f'{numerics_note}',
+        f'{numerics_note}{flops_note}',
         file=sys.stderr
     )
 

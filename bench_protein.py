@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: protein-scale Gram build (the reference's
-``example/perfbench/protein-time-to-solution.py`` workload shape).
+"""Benchmark: protein-scale Gram builds at the reference's
+time-to-solution sizes (``example/perfbench/protein-time-to-solution.py``
+targets multi-hundred-residue contact maps; SURVEY §5 calls for product
+spaces n1*n2 ~ 1e5-1e6).
 
-11 protein-like contact-map graphs of 150-300 residues -> 66 graph pairs
-with product spaces n1*n2 ~ 2e4-9e4 — far beyond the VMEM-resident fused
-kernel, exercising the product-dimension-blocked streaming Pallas PCG
-(T streamed from HBM; ops/pallas_pcg.py `_pcg_stream_kernel`).
+Three size classes:
+  small:  11 x 150-300 residues   (n1*n2 up to ~9e4)
+  medium:  6 x 400-600 residues   (n1*n2 up to ~3.6e5)
+  large:   4 x 800-1000 residues  (n1*n2 up to ~1e6)
 
-Prints ONE JSON line like bench.py. Run with
-GRAPHDOT_BENCH_BACKEND=edge to time the pure-XLA fallback instead.
+The pallas backend auto-routes these to the sum-of-Kronecker solver
+(Chebyshev-factorized edge kernel, dense node-space matmuls — see
+docs/userguide/performance.md). Environment probes:
+  GRAPHDOT_BENCH_BACKEND=edge  — pure-XLA edge-factored solver
+  GRAPHDOT_KRON=0              — HBM-streaming Pallas PCG instead
+
+Prints ONE JSON line (headline = the large class) plus per-class
+detail lines with a FLOP model: useful = kron matvec FLOPs at true
+node counts x measured CG iterations; executed multiplies the HIGH
+(3-pass bf16) precision and padding.
 """
 import json
 import os
@@ -18,33 +28,21 @@ import time
 import numpy as np
 
 
-def main():
-    from graphdot_tpu.util import enable_compilation_cache
-    enable_compilation_cache()
-
+def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
+                reps=5):
     import jax
     import jax.numpy as jnp
 
     from graphdot_tpu.inference import GramFactory
-    from graphdot_tpu.kernel import MarginalizedGraphKernel
-    from graphdot_tpu.microkernel import (
-        KroneckerDelta, SquareExponential, TensorProduct
-    )
     from graphdot_tpu.testing import random_protein_set
+    from graphdot_tpu.util.flops import device_peak_flops
 
-    n_graphs = 11
-    graphs = random_protein_set(7, n_graphs, n_residues_range=(150, 300))
+    graphs = random_protein_set(seed, n_graphs,
+                                n_residues_range=rng_range)
     n_pairs = n_graphs * (n_graphs + 1) // 2
-
-    backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'pallas')
-    kernel = MarginalizedGraphKernel(
-        TensorProduct(element=KroneckerDelta(0.2)),
-        TensorProduct(length=SquareExponential(3.0)),
-        q=0.05, backend=backend,
-    )
-    # one padded size class: heterogeneous bucketing would multiply
-    # Mosaic compiles without changing what is being measured
-    factory = GramFactory(kernel, graphs, normalize=True, buckets=False)
+    kernel = kernel_factory()
+    factory = GramFactory(kernel, graphs, normalize=True,
+                          buckets=False, union=False)
     theta0 = jnp.asarray(factory.theta0, dtype=jnp.float32)
     gram = jax.jit(factory.gram)
 
@@ -52,26 +50,104 @@ def main():
     K = gram(theta0)
     K.block_until_ready()
     t_first = time.perf_counter() - t0
-    assert np.all(np.isfinite(np.asarray(K))), 'non-finite Gram'
+    assert np.all(np.isfinite(np.asarray(K))), f'non-finite Gram {label}'
 
     times = []
-    for r in range(7):
+    for r in range(reps):
         t0 = time.perf_counter()
-        gram(theta0 + 1e-5 * r).block_until_ready()
+        gram(theta0 + 1e-5 * (r + 1)).block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = float(np.min(times))
 
+    # FLOP model (kron path): R dense node-space matmul pairs per
+    # matvec; useful charges true node counts and one pass, executed
+    # charges padded dims x 3 (HIGH bf16 passes).
+    mfu = exec_pct = iters_med = None
+    n1n2_max = max(len(g.nodes) for g in graphs) ** 2
+    try:
+        mode = factory.kernel.backend.mode
+        if mode == 'pallas' and os.environ.get('GRAPHDOT_KRON') != '0':
+            from graphdot_tpu.kernel.marginalized._kron import \
+                DEFAULT_RANK
+            stats = factory.iteration_stats(theta0, mode='kron')
+            (grp,) = stats
+            iters = np.asarray(grp['iters'], dtype=float)
+            iters_med = float(np.median(iters))
+            sizes = np.array([len(g.nodes) for g in graphs])
+            iu, ju = np.triu_indices(n_graphs)
+            useful = executed = 0.0
+            R = DEFAULT_RANK
+            npad = grp['ca']
+            for a, b, it in zip(iu, ju, iters):
+                na, nb = sizes[a], sizes[b]
+                useful += it * 2 * R * (na * na * nb + na * nb * nb)
+                executed += it * 2 * R * (npad ** 3 + npad ** 3) * 3
+            peak = device_peak_flops()
+            if peak:
+                mfu = round(100.0 * useful / dt / peak, 2)
+                exec_pct = round(100.0 * executed / dt / peak, 1)
+    except Exception as e:                          # noqa: BLE001
+        print(f'# {label}: FLOP accounting unavailable: {e}',
+              file=sys.stderr)
+
+    return {
+        'label': label, 'n_pairs': n_pairs, 'n1n2_max': int(n1n2_max),
+        'pairs_per_sec': round(n_pairs / dt, 2),
+        'ms_per_build': round(dt * 1e3, 1),
+        't_first_s': round(t_first, 1),
+        'iters_median': iters_med,
+        'mfu_pct': mfu, 'mxu_executed_pct': exec_pct,
+    }
+
+
+def main():
+    from graphdot_tpu.util import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+
+    backend = os.environ.get('GRAPHDOT_BENCH_BACKEND', 'pallas')
+
+    def kernel_factory():
+        return MarginalizedGraphKernel(
+            TensorProduct(element=KroneckerDelta(0.2)),
+            TensorProduct(length=SquareExponential(3.0)),
+            q=0.05, backend=backend,
+        )
+
+    classes = [
+        ('150-300res', 7, 11, (150, 300)),
+        ('400-600res', 8, 6, (400, 600)),
+        ('800-1000res', 9, 4, (800, 1000)),
+    ]
+    if os.environ.get('GRAPHDOT_PROTEIN_SMALL_ONLY'):
+        classes = classes[:1]
+
+    rows = []
+    for label, seed, n, rng in classes:
+        rows.append(bench_class(label, seed, n, rng, kernel_factory))
+        print(f'# {json.dumps(rows[-1])}', file=sys.stderr)
+
+    head = rows[-1]
     print(json.dumps({
-        'metric': 'protein graph-pairs/s/chip (Gram build, 11 x '
-                  '150-300-residue contact maps)',
-        'value': round(n_pairs / dt, 1),
+        'metric': f'protein graph-pairs/s/chip (Gram build, '
+                  f'{head["label"]} contact maps, '
+                  f'n1*n2 up to {head["n1n2_max"]:.0e})',
+        'value': head['pairs_per_sec'],
         'unit': 'pairs/s',
-        'vs_baseline': 1.0,
+        'vs_baseline': None,
+        'classes': rows,
+        'backend': backend,
+        'kron': os.environ.get('GRAPHDOT_KRON', '1') != '0',
     }))
     print(
-        f'# details: {n_pairs} pairs, {dt * 1e3:.1f} ms/build steady, '
-        f'{t_first:.1f} s first call (compile), backend={backend}, '
-        f'platform={jax.devices()[0].platform}',
+        f'# platform={jax.devices()[0].platform}, '
+        f'device={jax.devices()[0].device_kind}',
         file=sys.stderr
     )
 

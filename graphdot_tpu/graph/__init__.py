@@ -179,6 +179,46 @@ class Graph:
         if not inplace:
             return graphs
 
+    @classmethod
+    def disjoint_union(cls, graphs, title=None):
+        """Disjoint union of a list of graphs: node/edge frames are
+        concatenated with node indices offset per member.
+
+        The MLGK product-graph system of a union-graph pair is
+        block-diagonal over the member-pair blocks, so one solve over a
+        union pair yields every member-pair kernel value exactly — the
+        basis of the cross-product pair packing in
+        :mod:`graphdot_tpu.inference.gram` (the TPU replay of the
+        reference's dense-vs-sparse octile duality,
+        ``graphdot/cpp/marginalized_kernel.h:219-354``, trading padded
+        zeros for MXU tile occupancy).
+        """
+        graphs = list(graphs)
+        if not graphs:
+            raise ValueError('disjoint_union of an empty list')
+        offsets = np.concatenate(
+            [[0], np.cumsum([len(g.nodes) for g in graphs])])
+
+        def _concat(frames, key, offset_key):
+            parts = []
+            for g_idx, f in enumerate(frames):
+                v = np.asarray(f[key])
+                if key in offset_key:
+                    v = v + offsets[g_idx]
+                parts.append(v)
+            return np.concatenate(parts)
+
+        node_frames, node_cols = _shared_columns(graphs, 'nodes')
+        edge_frames, edge_cols = _shared_columns(graphs, 'edges')
+        nodes = {k: _concat(node_frames, k, ('!i',)) for k in node_cols}
+        edges = {k: _concat(edge_frames, k, ('!i', '!j'))
+                 for k in edge_cols}
+        return cls(
+            nodes=nodes, edges=edges,
+            title=title if title is not None else
+            '|'.join(g.title for g in graphs)
+        )
+
     # -- converters ---------------------------------------------------------
 
     @classmethod

@@ -32,7 +32,7 @@ class Backend:
     """Computing engine that solves the marginalized graph kernel's
     generalized Laplacian equation."""
 
-    MODES = ('edge', 'dense', 'pallas')
+    MODES = ('edge', 'dense', 'pallas', 'kron')
 
     def __init__(self, mode='edge', fallback=None):
         if mode not in self.MODES:

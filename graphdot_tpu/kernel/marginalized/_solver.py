@@ -135,9 +135,14 @@ def _batch_dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def pcg(matvec, b, precond, tol, maxiter):
+def pcg(matvec, b, precond, tol, maxiter, return_iters=False):
     """Batched Jacobi-PCG. All operands [P, N]; ``tol`` [P] is the absolute
-    residual-norm threshold per pair (reference uses ftol * N)."""
+    residual-norm threshold per pair (reference uses ftol * N).
+
+    With ``return_iters`` (static), also returns the per-pair iteration
+    count at which each system converged (``maxiter`` for systems the cap
+    preempted) — the instrument behind the benches' FLOP/MFU accounting.
+    """
 
     z0 = precond * b
     rr0 = _batch_dot(b, b)
@@ -149,14 +154,15 @@ def pcg(matvec, b, precond, tol, maxiter):
         _batch_dot(b, z0),   # rz
         done0,
         jnp.int32(0),
+        jnp.where(done0, 0, maxiter).astype(jnp.int32),   # per-pair iters
     )
 
     def cond(state):
-        _, _, _, _, done, it = state
+        done, it = state[4], state[5]
         return (it < maxiter) & jnp.any(~done)
 
     def body(state):
-        x, r, p, rz, done, it = state
+        x, r, p, rz, done, it, iters = state
         Ap = matvec(p)
         pAp = _batch_dot(p, Ap)
         bad = (pAp == 0.0) | (rz == 0.0)
@@ -173,9 +179,12 @@ def pcg(matvec, b, precond, tol, maxiter):
         )
         p = z + beta[:, None] * p
         rz = jnp.where(done_new, rz, rz_new)
-        return (x, r, p, rz, done_new, it + 1)
+        iters = jnp.where(done_new & ~done, it + 1, iters)
+        return (x, r, p, rz, done_new, it + 1, iters)
 
-    x, _, _, _, _, _ = lax.while_loop(cond, body, state0)
+    x, _, _, _, _, _, iters = lax.while_loop(cond, body, state0)
+    if return_iters:
+        return x, iters
     return x
 
 
@@ -204,7 +213,7 @@ def solve_linear(matvec, b, precond, tol, maxiter, solve_impl=None):
 
 
 def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
-               maxiter, return_resnorm=False):
+               maxiter, return_resnorm=False, return_iters=False):
     """Solve a batch of graph-pair MLGK systems.
 
     Parameters
@@ -268,6 +277,65 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     b = jnp.where(ok, dx, 0.0)
 
     solve_impl = None
+    use_kron = False
+    if mode != 'dense':
+        from ._kron import kron_eligible
+        if mode == 'kron':
+            use_kron = True
+        elif mode == 'pallas':
+            # auto-switch: pairs beyond the VMEM-resident kernel's
+            # working set (protein scale) take the sum-of-Kronecker
+            # node-space path when the edge features allow it; the
+            # streaming Pallas kernel remains the fallback.
+            import os
+            from ...ops.pallas_pcg import (
+                _RESIDENT_PAIR_LIMIT, _bytes_per_pair
+            )
+            M1e = ops['esrc_1'].shape[1]
+            M2e = ops['esrc_2'].shape[1]
+            use_kron = (
+                os.environ.get('GRAPHDOT_KRON', '1') != '0'
+                and not os.environ.get('GRAPHDOT_PALLAS_STREAM')
+                and _bytes_per_pair(M1e, M2e, n1, n2)
+                > _RESIDENT_PAIR_LIMIT
+                and kron_eligible(ops)
+            )
+
+    if use_kron:
+        from ._kron import kron_mlgk_solve
+        raw_eef1 = ops['edge_elist_feats_1']
+        (feats_name,) = raw_eef1.keys()
+        if 'tol_n1' in ops:
+            n_true = ops['tol_n1'] * ops['tol_n2']
+        else:
+            n_true = jnp.sum(mask1, axis=1) * jnp.sum(mask2, axis=1)
+        theta_ops = {
+            'esrc_1': ops['esrc_1'], 'edst_1': ops['edst_1'],
+            'ew_1': ops['ew_1'],
+            'esrc_2': ops['esrc_2'], 'edst_2': ops['edst_2'],
+            'ew_2': ops['ew_2'],
+            'x_1': raw_eef1[feats_name],
+            'x_2': ops['edge_elist_feats_2'][feats_name],
+            'diag': diag_coef, 'precond': precond_diag, 'b': b,
+            'tol': ops['ftol'] * n_true,
+        }
+        out = kron_mlgk_solve(
+            theta_ops, apply_on_features=_apply_on_features,
+            kedge=kedge, te=te, feats_name=feats_name,
+            maxiter=maxiter, solve_linear=solve_linear,
+            return_resnorm=return_resnorm,
+            return_iters=return_iters,
+        )
+        if return_resnorm or return_iters:
+            x, aux = out
+        else:
+            x = out
+        if lmin == 1:
+            x = x - jnp.where(valid > 0, Vx, 0.0)
+        if return_resnorm or return_iters:
+            return x, Vx, valid, aux
+        return x, Vx, valid
+
     if mode == 'dense':
         adj1, adj2 = ops['adj_1'], ops['adj_2']
         raw_ef1, raw_ef2 = ops['edge_feats_1'], ops['edge_feats_2']
@@ -328,8 +396,29 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
         out = diag_flat * y - offdiag(Y).reshape(P, N)
         return out
 
-    n_true = jnp.sum(mask1, axis=1) * jnp.sum(mask2, axis=1)
+    if 'tol_n1' in ops:
+        # union-packed batches (cross-product pair packing): the
+        # per-system tolerance must guarantee EVERY member pair its own
+        # ftol * n1 * n2 bound, so the caller passes the min member
+        # node counts per side (min_i n1_i * min_j n2_j = min over the
+        # tile, all counts positive). For plain pairs these equal the
+        # pair's own node counts and the formula reduces to the
+        # reference's ftol * N (marginalized_kernel.h:449).
+        n_true = ops['tol_n1'] * ops['tol_n2']
+    else:
+        n_true = jnp.sum(mask1, axis=1) * jnp.sum(mask2, axis=1)
     tol = ops['ftol'] * n_true
+
+    if return_iters:
+        # diagnostic path (FLOP/MFU accounting): run the XLA PCG with
+        # per-pair iteration counting; no gradient support needed.
+        x_flat, iters = pcg(
+            matvec, b_flat, precond_flat, tol, maxiter,
+            return_iters=True)
+        x = x_flat.reshape(P, n1, n2)
+        if lmin == 1:
+            x = x - jnp.where(valid > 0, Vx, 0.0)
+        return x, Vx, valid, iters
 
     if mode == 'pallas':
         # primal/tangent solves run in the fused VMEM-resident kernel;

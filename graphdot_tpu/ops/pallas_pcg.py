@@ -815,6 +815,13 @@ def pallas_pcg_packed(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b, tol,
     flops_matvec = 2 * B * (kM1 * kN1 * kN2 + kM1 * kM2 * kN2
                             + kN1 * kM1 * kM2 + kN1 * kM2 * kN2) * passes
 
+    # INVARIANT: the grid dimension must stay SEQUENTIAL (the default —
+    # do not add dimension_semantics=('parallel',) here). The kernel
+    # zeroes its packed scratch only in program 0 and relies on the
+    # off-diagonal zeros persisting across grid programs on one core; a
+    # 'parallel' grid (e.g. Megacore partitioning on v4/v5p) would give
+    # each core its own scratch and cores not running program 0 would
+    # read garbage off-diagonal blocks, silently corrupting solves.
     return pl.pallas_call(
         functools.partial(_pcg_pack_kernel, mode=mode, k=k,
                           unroll=unroll),

@@ -52,6 +52,9 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
     n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     spec = P(axes)
 
+    node_counts = np.array(
+        [len(g.nodes) for g in factory.graphs], dtype=np.float32)
+
     if factory._groups is not None:
         raw_groups = [
             dict(
@@ -60,6 +63,10 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
                 gi=np.asarray(grp['gi']), gj=np.asarray(grp['gj']),
                 idx1=np.asarray(grp['idx1']),
                 idx2=np.asarray(grp['idx2']),
+                tol_n1=np.asarray(grp['tol_n1']),
+                tol_n2=np.asarray(grp['tol_n2']),
+                k1=grp['k1'], k2=grp['k2'],
+                ca=grp['ca'], cb=grp['cb'],
                 onehots=grp['onehots'],
                 maxiter=min(grp['ca'] * grp['cb'],
                             factory._maxiter_cap),
@@ -72,6 +79,8 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
             batch1=factory._batch, batch2=factory._batch,
             pfix1=factory._p_fixed, pfix2=factory._p_fixed,
             gi=iu, gj=ju, idx1=iu, idx2=ju,
+            tol_n1=node_counts[iu], tol_n2=node_counts[ju],
+            k1=1, k2=1, ca=factory._n_pad, cb=factory._n_pad,
             onehots=factory._onehots,
             maxiter=min(factory._n_pad * factory._n_pad,
                         factory._maxiter_cap),
@@ -81,12 +90,25 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
     for grp in raw_groups:
         n_jobs = len(grp['idx1'])
         pad = (-n_jobs) % n_dev
+        k1, k2 = grp['k1'], grp['k2']
+        gi = grp['gi'].reshape(n_jobs, k1)
+        gj = grp['gj'].reshape(n_jobs, k2)
+        # phantom members and padded jobs scatter into row/col n of the
+        # (n+1)-padded Gram, which is discarded
+        gi = np.concatenate(
+            [np.where(gi < 0, n, gi), np.full((pad, k1), n)])
+        gj = np.concatenate(
+            [np.where(gj < 0, n, gj), np.full((pad, k2), n)])
 
         def _pad_idx(a):
             return jnp.asarray(
                 np.concatenate([a, np.zeros(pad, dtype=a.dtype)])
                 .astype(np.int32)
             )
+
+        def _pad_tol(a):
+            return jnp.asarray(np.concatenate(
+                [a, np.ones(pad)]).astype(np.float32))
 
         # precomputed per-job one-hots shard along the job axis; padded
         # jobs get zero rows (their results are discarded below)
@@ -97,34 +119,41 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
             for k in _OH_KEYS
         ) if has_oh else ()
 
+        tile = (k1, grp['ca'], k2, grp['cb'])
         solver = shard_map(
             partial(
                 factory._group_ops_solve, grp['batch1'], grp['batch2'],
-                grp['pfix1'], grp['pfix2'], lmin, grp['maxiter']
+                grp['pfix1'], grp['pfix2'], lmin, grp['maxiter'], tile
             ),
             mesh=mesh,
-            in_specs=(P(), spec, spec) + (spec,) * len(oh_args),
+            in_specs=(P(), spec, spec, spec, spec)
+            + (spec,) * len(oh_args),
             out_specs=spec,
             check_vma=False,
         )
         groups.append(dict(
             solver=solver, n_jobs=n_jobs,
             idx1=_pad_idx(grp['idx1']), idx2=_pad_idx(grp['idx2']),
+            tol_n1=_pad_tol(grp['tol_n1']),
+            tol_n2=_pad_tol(grp['tol_n2']),
             oh_args=oh_args,
-            gi=jnp.asarray(grp['gi'].astype(np.int32)),
-            gj=jnp.asarray(grp['gj'].astype(np.int32)),
+            gi=jnp.asarray(gi.astype(np.int32)),
+            gj=jnp.asarray(gj.astype(np.int32)),
         ))
 
     @jax.jit
     def gram(theta_log_active):
         theta = factory.full_theta(theta_log_active)
-        K = jnp.zeros((n, n), dtype=jnp.float32)
+        Kp = jnp.zeros((n + 1, n + 1), dtype=jnp.float32)
         for grp in groups:
             r = grp['solver'](
-                theta, grp['idx1'], grp['idx2'], *grp['oh_args'])
-            r = r[:grp['n_jobs']]
-            K = K.at[grp['gi'], grp['gj']].set(r)
-            K = K.at[grp['gj'], grp['gi']].set(r)
+                theta, grp['idx1'], grp['idx2'],
+                grp['tol_n1'], grp['tol_n2'], *grp['oh_args'])
+            gi = grp['gi'][:, :, None]       # [S_pad, k1, 1]
+            gj = grp['gj'][:, None, :]       # [S_pad, 1, k2]
+            Kp = Kp.at[gi, gj].set(r)
+            Kp = Kp.at[gj, gi].set(r)
+        K = Kp[:n, :n]
         if factory.normalize:
             d = jnp.sqrt(jnp.diagonal(K))
             K = K / d[:, None] / d[None, :]

@@ -225,3 +225,79 @@ def test_pbr_never_worse_than_rcm_on_nws():
             A, csg.reverse_cuthill_mckee(A, symmetric_mode=True))
         c_id = _tile_count(A, np.arange(n))
         assert c_pbr <= min(c_rcm, c_id)
+
+
+def test_disjoint_union():
+    """disjoint_union concatenates node/edge frames with offset
+    indices, and the MLGK of a union pair equals the sum of the member
+    pair kernels (the block-diagonal identity behind cross-product pair
+    packing)."""
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.testing import random_molecule_set
+
+    graphs = random_molecule_set(3, 4, n_atoms_range=(5, 9))
+    u = Graph.disjoint_union(graphs[:2])
+    assert len(u.nodes) == len(graphs[0].nodes) + len(graphs[1].nodes)
+    assert len(u.edges) == len(graphs[0].edges) + len(graphs[1].edges)
+    # edge indices of the second member are offset past the first
+    n0 = len(graphs[0].nodes)
+    tail_i = np.asarray(u.edges['!i'])[len(graphs[0].edges):]
+    assert tail_i.min() >= n0
+
+    kernel = MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.2)),
+        TensorProduct(length=SquareExponential(0.3)),
+        q=0.05,
+    )
+    pairs = Graph.unify_datatype(
+        [Graph.disjoint_union(graphs[:2]),
+         Graph.disjoint_union(graphs[2:])])
+    K_union = kernel(pairs)
+    K_members = kernel(graphs)
+    # union (0, 1) entry = sum over the 2x2 cross tile of member pairs
+    expect = K_members[:2, 2:].sum()
+    assert abs(K_union[0, 1] - expect) < 1e-4 * abs(expect)
+
+
+def test_iteration_stats():
+    """GramFactory.iteration_stats returns per-pair CG iteration counts
+    consistent with the group structure (FLOP/MFU instrument)."""
+    import jax.numpy as jnp
+    from graphdot_tpu.inference import GramFactory
+    from graphdot_tpu.kernel import MarginalizedGraphKernel
+    from graphdot_tpu.microkernel import (
+        KroneckerDelta, SquareExponential, TensorProduct
+    )
+    from graphdot_tpu.testing import random_molecule_set
+
+    graphs = random_molecule_set(5, 12, n_atoms_range=(6, 18))
+    kernel = MarginalizedGraphKernel(
+        TensorProduct(element=KroneckerDelta(0.2)),
+        TensorProduct(length=SquareExponential(0.3)),
+        q=0.05,
+    )
+    # union=False: per-PAIR iteration counts (the FLOP-model contract)
+    factory = GramFactory(kernel, graphs, normalize=True, union=False)
+    stats = factory.iteration_stats(
+        jnp.asarray(factory.theta0, dtype=jnp.float32))
+    n_pairs = sum(g['n_jobs'] for g in stats)
+    assert n_pairs == 12 * 13 // 2
+    for g in stats:
+        assert g['iters'].shape == (g['n_jobs'],)
+        assert np.all(g['iters'] >= 1)
+        assert np.all(g['iters'] <= g['ca'] * g['cb'])
+
+    # union factory: one count per super-pair, members covered exactly
+    fu = GramFactory(kernel, graphs, normalize=True, union=2)
+    stats_u = fu.iteration_stats(
+        jnp.asarray(fu.theta0, dtype=jnp.float32))
+    covered = 0
+    for g in stats_u:
+        gi, gj = g['gi'], g['gj']
+        assert gi.ndim == 2 and g['iters'].shape == (g['n_jobs'],)
+        for s in range(g['n_jobs']):
+            covered += (gi[s] >= 0).sum() * (gj[s] >= 0).sum()
+    assert covered >= 12 * 13 // 2      # >= : diagonal tiles overlap
