@@ -81,25 +81,15 @@ def main():
     # Headline: sustained on-device throughput. Gram builds are consumed
     # on-device by the Bayesian layer (NUTS/HMC/SMC evaluate the Gram
     # inside a compiled sampler loop), so the steady-state rate is
-    # measured the same way: W full Gram builds at W distinct
-    # hyperparameter vectors chained in one lax.scan (each build solves
-    # all pair systems from scratch — no warm starts, no reuse). The
-    # per-call host-dispatch number is reported in the details line.
-    import jax.numpy as _jnp
-    from jax import lax
-
-    W = 10
-
-    @jax.jit
-    def gram_loop(t, dts):
-        def body(carry, dt):
-            Ki = factory.gram(t + dt)
-            return carry + jnp.sum(Ki), None
-        s, _ = lax.scan(body, 0.0, dts)
-        return s
-
-    dts = jnp.asarray(1e-4 * np.arange(W), dtype=jnp.float32)
-    gram_loop(theta0, dts).block_until_ready()
+    # measured the same way: full Gram builds at distinct hyperparameter
+    # vectors chained in one lax.scan (each build solves all pair
+    # systems from scratch — no warm starts, no reuse). The per-build
+    # time is the SLOPE between two scan lengths: the dev harness
+    # reaches the chip through a tunnel whose ~20-45 ms per-call round
+    # trip would otherwise inflate every build by latency/W (see
+    # graphdot_tpu/util/timing.py). The per-call host-dispatch number
+    # is reported in the details line.
+    from graphdot_tpu.util.timing import scan_device_time
 
     def timed(fn, *args, n_rep=7):
         times = []
@@ -111,7 +101,7 @@ def main():
         # latency spikes of the dev harness
         return float(np.min(times))
 
-    dt_loop = timed(gram_loop, theta0, dts) / W
+    dt_loop, _ = scan_device_time(factory.gram, theta0, w1=10, w2=60)
     dt_call = timed(gram, theta0 + 1e-3)
     pairs_per_sec = n_pairs / dt_loop
 
@@ -184,8 +174,9 @@ def main():
                if mxu_pct is not None else '')
         )
     print(
-        f'# details: {n_pairs} pairs, {dt_loop * 1e3:.1f} ms/build '
-        f'sustained ({W}-build scan), {dt_call * 1e3:.1f} ms/call '
+        f'# details: {n_pairs} pairs, {dt_loop * 1e3:.2f} ms/build '
+        f'sustained (10-vs-60-build scan slope), '
+        f'{dt_call * 1e3:.1f} ms/call '
         f'host-dispatched, backend={backend}, '
         f'platform={jax.devices()[0].platform}, '
         f'device={jax.devices()[0].device_kind}'

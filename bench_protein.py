@@ -52,12 +52,10 @@ def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
     t_first = time.perf_counter() - t0
     assert np.all(np.isfinite(np.asarray(K))), f'non-finite Gram {label}'
 
-    times = []
-    for r in range(reps):
-        t0 = time.perf_counter()
-        gram(theta0 + 1e-5 * (r + 1)).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.min(times))
+    # scan-slope timing: the tunnel's ~20-45 ms per-call round trip
+    # would bias single-call timings (graphdot_tpu/util/timing.py)
+    from graphdot_tpu.util.timing import scan_device_time
+    dt, _ = scan_device_time(factory.gram, theta0, w1=2, w2=2 + reps)
 
     # FLOP model (kron path): R dense node-space matmul pairs per
     # matvec; useful charges true node counts and one pass, executed

@@ -26,8 +26,12 @@ def main():
     ap.add_argument('--slow', action='store_true')
     args = ap.parse_args()
 
+    # mirror tests/conftest.py exactly: NUTS trajectories are
+    # chaotically sensitive, so the recording environment must compile
+    # the same programs as the test run
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', 8)
 
     from graphdot_tpu import Graph
     from graphdot_tpu.dataset.qm7_fixture import load_qm7
@@ -39,8 +43,13 @@ def main():
     ])
     qm7 = (graphs, energies, source)
 
+    # keep these in lockstep with the fast/slow test calls in
+    # tests/test_qm7_parity.py — the recorded key encodes only
+    # (source, n_mol, warmup, samples), so mismatched priors/moves
+    # would regression-check against a different distribution
     variants = [dict(n_mol=5, n_warmup=40, n_samples=40,
-                     n_particles=48, advi_steps=150, max_depth=4)]
+                     n_particles=48, advi_steps=150, max_depth=4,
+                     prior_scale=1.0, smc_moves='hmc')]
     if args.slow:
         variants.append(dict(n_mol=8, n_warmup=80, n_samples=80,
                              n_particles=96, advi_steps=300,
