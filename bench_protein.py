@@ -64,7 +64,12 @@ def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
     n1n2_max = max(len(g.nodes) for g in graphs) ** 2
     try:
         mode = factory.kernel.backend.mode
-        if mode == 'pallas' and os.environ.get('GRAPHDOT_KRON') != '0':
+        kron_min = int(os.environ.get('GRAPHDOT_KRON_MIN_N', 120_000))
+        npad2 = max(len(g.nodes) for g in graphs)
+        # the kron FLOP model applies only when the auto-switch routes
+        # this class to the kron solver (see _solver.mlgk_solve)
+        if mode == 'pallas' and os.environ.get('GRAPHDOT_KRON') != '0' \
+                and npad2 * npad2 > kron_min:
             from graphdot_tpu.kernel.marginalized._kron import \
                 DEFAULT_RANK
             stats = factory.iteration_stats(theta0, mode='kron')
@@ -128,10 +133,20 @@ def main():
 
     rows = []
     for label, seed, n, rng in classes:
-        rows.append(bench_class(label, seed, n, rng, kernel_factory))
+        try:
+            rows.append(bench_class(label, seed, n, rng,
+                                    kernel_factory))
+        except Exception as e:                      # noqa: BLE001
+            # one class must not sink the whole bench (the dev
+            # harness's TPU worker occasionally faults on first
+            # compiles of large programs)
+            rows.append({'label': label,
+                         'error': f'{type(e).__name__}: {e}'[:200]})
         print(f'# {json.dumps(rows[-1])}', file=sys.stderr)
 
-    head = rows[-1]
+    done = [r for r in rows if 'error' not in r]
+    head = done[-1] if done else {
+        'label': 'none', 'pairs_per_sec': None, 'n1n2_max': 0}
     print(json.dumps({
         'metric': f'protein graph-pairs/s/chip (Gram build, '
                   f'{head["label"]} contact maps, '

@@ -130,8 +130,10 @@ def factorization_error(apply_on_features, kedge, te, feats_name,
     t, w = _cheb_nodes(lo, hi, R)
     C = _edge_kernel_grid(apply_on_features, kedge, te, feats_name, t)
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    xs = jax.random.choice(k1, x1.reshape(-1), (n_sample,))
-    ys = jax.random.choice(k2, x2.reshape(-1), (n_sample,))
+    xs = jnp.clip(jax.random.choice(k1, x1.reshape(-1), (n_sample,)),
+                  lo, hi)
+    ys = jnp.clip(jax.random.choice(k2, x2.reshape(-1), (n_sample,)),
+                  lo, hi)
     exact = apply_on_features(
         kedge, te, {feats_name: xs}, {feats_name: ys})
     approx = jnp.einsum(
@@ -166,19 +168,32 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
     tol = theta_ops['tol']                    # [P]
 
     P, n1, n2 = diag.shape
-    # chunk size: bound the [c, R, N, N] A-stacks to ~256 MB
+    # chunk size: bound the [c, R, N, N] A-stacks (both sides) to
+    # ~1.5 GB of HBM. Preferring one big chunk also avoids nesting a
+    # while-loop CG inside lax.map, which the dev harness's TPU worker
+    # is fragile against (ROADMAP known-issue 1).
     if chunk is None:
-        budget = 256 << 20
+        budget = int(os.environ.get('GRAPHDOT_KRON_CHUNK_BYTES',
+                                    3 << 29))
         chunk = int(max(1, min(
             P, budget // (4 * R * max(n1, n2) ** 2 * 2))))
+        # balance the chunks (P=66 at cap 63 should run 2x33, not
+        # 63 + 3-real-pairs-plus-60-phantoms)
+        chunk = -(-P // (-(-P // chunk)))
     P_pad = -(-P // chunk) * chunk
 
     lo, hi = _feature_domain(x1, ew1, x2, ew2)
     t, w = _cheb_nodes(lo, hi, R)
     C = _edge_kernel_grid(apply_on_features, kedge, te, feats_name, t)
 
-    L1 = _cheb_basis(x1, t, w)                # [P, M1, R]
-    L2 = _cheb_basis(x2, t, w)
+    # clamp into the interpolation domain before evaluating the basis:
+    # padding edges carry feature 0, which can sit far OUTSIDE
+    # [lo, hi], where the barycentric denominator suffers catastrophic
+    # cancellation (inf/NaN that even the ew = 0 weight cannot kill,
+    # since NaN * 0 = NaN). Real features lie inside by construction,
+    # so the clamp is the identity for them.
+    L1 = _cheb_basis(jnp.clip(x1, lo, hi), t, w)   # [P, M1, R]
+    L2 = _cheb_basis(jnp.clip(x2, lo, hi), t, w)
 
     def _pad(a, fill=0.0):
         return jnp.concatenate(
@@ -198,9 +213,15 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
     def solve_chunk(args):
         (es1, ed1, w1, l1, es2, ed2, w2, l2, dg, pc, bb), tl = args
         A1 = _assemble_stack(es1, ed1, w1, l1, n1)    # [c, R, n1, n1]
-        A2 = _assemble_stack(es2, ed2, w2, l2, n2)    # [c, R, n2, n2]
-        # fold the theta-dependent grid kernel into side 2
-        B2 = jnp.einsum('pq,cqkl->cpkl', C, A2)       # [c, R, n2, n2]
+        # fold the theta-dependent grid kernel into the side-2 BASIS
+        # before scattering: B2_p = sum_q C_pq A2_q assembled directly
+        # (a [c, M, R] @ [R, R] matmul pre-scatter), so no R-broadcast
+        # contraction over the [c, R, n2, n2] stack is ever emitted —
+        # XLA's remote TPU compiler crashes on broadcast-batched
+        # dot_generals at these shapes.
+        l2c = jnp.einsum('cmq,pq->cmp', l2, C,
+                         precision=lax.Precision.HIGHEST)
+        B2 = _assemble_stack(es2, ed2, w2, l2c, n2)   # [c, R, n2, n2]
 
         dgf = dg.reshape(chunk, n1 * n2)
         pcf = pc.reshape(chunk, n1 * n2)
@@ -208,18 +229,24 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
 
         # HIGH (3-pass bf16) restores ~f32 accuracy; unlike the
         # edge-factored path no operand here is an exact-bf16 one-hot,
-        # so the 2-pass split-operand shortcut does not apply
+        # so the 2-pass split-operand shortcut does not apply.
+        # The rank axis is a static Python loop of standard batched
+        # matmuls (see the B2 note above for why), which also keeps the
+        # per-term intermediate at [c, n1, n2] instead of R times that.
         def matvec(yf):
             Y = yf.reshape(chunk, n1, n2)
-            G = jnp.einsum(
-                'crij,cjk->crik', A1, Y,
-                precision=lax.Precision.HIGH,
-                preferred_element_type=jnp.float32)
-            out = jnp.einsum(
-                'crik,crlk->cil', G, B2,
-                precision=lax.Precision.HIGH,
-                preferred_element_type=jnp.float32)
-            return dgf * yf - out.reshape(chunk, n1 * n2)
+            out = dgf * yf
+            for r in range(R):
+                G = jnp.einsum(
+                    'cij,cjk->cik', A1[:, r], Y,
+                    precision=lax.Precision.HIGH,
+                    preferred_element_type=jnp.float32)
+                O = jnp.einsum(
+                    'cik,clk->cil', G, B2[:, r],
+                    precision=lax.Precision.HIGH,
+                    preferred_element_type=jnp.float32)
+                out = out - O.reshape(chunk, n1 * n2)
+            return out
 
         if return_iters:
             from ._solver import pcg
@@ -234,9 +261,19 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
             return xf.reshape(chunk, n1, n2), rel
         return xf.reshape(chunk, n1, n2)
 
-    out = lax.map(solve_chunk, (tuple(ops_c), tol_c))
+    # Python loop over chunks, unrolled at trace time: wrapping the CG
+    # while-loop in lax.map produced map{while{einsum}} programs that
+    # fault the dev harness's TPU worker (the same fragility ROADMAP
+    # known-issue 1 records for scan{vmap{while}} nests); a flat
+    # sequence of chunk solves in one program is equivalent and robust.
+    # n_chunks is small (typically 1-8), so program-size growth is
+    # bounded.
+    outs = [
+        solve_chunk((tuple(a[i] for a in ops_c), tol_c[i]))
+        for i in range(P_pad // chunk)
+    ]
     if return_resnorm or return_iters:
-        xs, aux = out
-        return (xs.reshape(P_pad, n1, n2)[:P],
-                aux.reshape(P_pad)[:P])
-    return out.reshape(P_pad, n1, n2)[:P]
+        xs = jnp.concatenate([o[0] for o in outs])
+        aux = jnp.concatenate([o[1] for o in outs])
+        return xs[:P], aux[:P]
+    return jnp.concatenate(outs)[:P]

@@ -285,21 +285,33 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
         elif mode == 'pallas':
             # auto-switch: pairs beyond the VMEM-resident kernel's
             # working set (protein scale) take the sum-of-Kronecker
-            # node-space path when the edge features allow it; the
-            # streaming Pallas kernel remains the fallback.
+            # node-space path when the edge features allow it AND the
+            # product space is large enough that it wins: measured on
+            # v5e contact maps, the streaming Pallas kernel is faster
+            # up to ~300 residues (n1*n2 ~ 9e4; T still small enough
+            # that HBM re-reads beat R=32 dense matmuls) while kron is
+            # ~100x faster by 500+ residues where T reaches GBs. Kron
+            # also takes over whenever streaming is infeasible (its
+            # VMEM-resident part overflows).
             import os
             from ...ops.pallas_pcg import (
-                _RESIDENT_PAIR_LIMIT, _bytes_per_pair
+                _RESIDENT_PAIR_LIMIT, _bytes_per_pair, _pick_tile_m
             )
             M1e = ops['esrc_1'].shape[1]
             M2e = ops['esrc_2'].shape[1]
-            use_kron = (
-                os.environ.get('GRAPHDOT_KRON', '1') != '0'
-                and not os.environ.get('GRAPHDOT_PALLAS_STREAM')
-                and _bytes_per_pair(M1e, M2e, n1, n2)
+            big = _bytes_per_pair(M1e, M2e, n1, n2) \
                 > _RESIDENT_PAIR_LIMIT
-                and kron_eligible(ops)
-            )
+            if big:
+                stream_ok = _pick_tile_m(
+                    M1e, -(-M2e // 128) * 128, n1, n2) is not None
+                kron_min = int(os.environ.get(
+                    'GRAPHDOT_KRON_MIN_N', 120_000))
+                use_kron = (
+                    os.environ.get('GRAPHDOT_KRON', '1') != '0'
+                    and not os.environ.get('GRAPHDOT_PALLAS_STREAM')
+                    and kron_eligible(ops)
+                    and (n1 * n2 > kron_min or not stream_ok)
+                )
 
     if use_kron:
         from ._kron import kron_mlgk_solve

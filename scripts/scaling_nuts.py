@@ -40,7 +40,7 @@ from graphdot_tpu.parallel import make_mesh    # noqa: E402
 from graphdot_tpu.testing import random_molecule_set      # noqa: E402
 
 
-def main(n_graphs=16, n_chains=16, n_samples=32, max_depth=5):
+def main(n_graphs=8, n_chains=8, n_samples=16, max_depth=4):
     graphs = random_molecule_set(7, n_graphs, n_atoms_range=(9, 24))
     rng = np.random.default_rng(0)
     y = np.array([
@@ -58,7 +58,7 @@ def main(n_graphs=16, n_chains=16, n_samples=32, max_depth=5):
     # adapt once (unsharded); every device count then resumes from the
     # same (step size, mass, positions) so the device work is identical
     out = sample(
-        logprob, jax.random.PRNGKey(0), n_chains=n_chains, n_warmup=60,
+        logprob, jax.random.PRNGKey(0), n_chains=n_chains, n_warmup=40,
         n_samples=2, init=init, max_depth=max_depth, init_jitter=0.05)
     init2, step_size, inv_mass = resume_state(out)
 
@@ -87,12 +87,14 @@ def main(n_graphs=16, n_chains=16, n_samples=32, max_depth=5):
         results[d] = sps
         print(f'{d} devices: {sps:8.2f} samples/s  '
               f'{ess_min / dt:6.2f} ESS/s  '
-              f'(x{sps / results[1]:.2f} vs 1 dev, '
-              f'{100 * sps / results[1] / d:.0f}% eff at fixed work)')
-    print('# fixed total chains: ideal is flat samples/s (the win on '
-          'real chips is d-times the chains at the same wall time); '
-          'virtual CPU devices share one socket — this bounds '
-          'sharding overhead only')
+              f'(x{sps / results[1]:.2f} vs unsharded)')
+    print('# fixed total chains sharded over d virtual devices on one '
+          'socket: >= 1.0x means the chains-axis sharding overhead '
+          '(psum-pooled adaptation, per-device dispatch) is fully '
+          'absorbed; the measured speedup comes from reduced '
+          'max-over-chains lockstep per device. Real-chip scaling '
+          '(d-times the chains at equal wall time) needs hardware '
+          'this environment does not have.')
 
 
 if __name__ == '__main__':
