@@ -54,7 +54,10 @@ class GramFactory:
     buckets: 'auto' | bool
         Solve size-bucketed pair groups at their own padded shapes.
         'auto' enables bucketing whenever the graph set spans more than
-        one padded-size class.
+        one padded-size class. An explicit ``False`` requests the
+        single-batch path and also stands down ``union='auto'`` (a
+        forced integer ``union`` factor still takes precedence and
+        routes through the grouped machinery).
     node_align: int
         Padded node counts are rounded up to multiples of this.
     union: 'auto' | int | False
@@ -70,7 +73,10 @@ class GramFactory:
         16-node class on v5e: 1.42x over block-diagonal packing
         (``scripts/proto_union.py``). 'auto' enables it on the pallas
         and edge backends with a per-class factor sized to ~128-node
-        unions; an int forces the factor; False disables.
+        unions; an int forces the factor; False disables. The
+        GRAPHDOT_UNION env var overrides: '1'/'true'/'auto' enable
+        auto packing, '0'/'false' disable, an integer >= 2 forces the
+        factor (case-insensitive).
     maxiter: int or None
         Cap on CG iterations per solve. The default (None) bounds each
         solve by its product-space dimension, like the reference solver.
@@ -127,6 +133,10 @@ class GramFactory:
         classes = {}
         for gi, s in enumerate(sizes):
             classes.setdefault(_round_up(s, node_align), []).append(gi)
+        # an explicit buckets=False is a request for the single-batch
+        # path; union='auto' then stands down (only a forced int
+        # factor overrides it) — see the buckets/union docstrings
+        buckets_off = buckets is False
         if buckets == 'auto':
             buckets = len(classes) > 1
 
@@ -134,10 +144,22 @@ class GramFactory:
         import os
         env_union = os.environ.get('GRAPHDOT_UNION')
         if env_union is not None:
-            union = False if env_union in ('0', 'false') \
-                else env_union if env_union == 'auto' else int(env_union)
+            v = env_union.strip().lower()
+            if v in ('0', 'false', 'off', 'no'):
+                union = False
+            elif v in ('1', 'true', 'on', 'yes', 'auto'):
+                union = 'auto'
+            else:
+                try:
+                    union = int(v)
+                except ValueError:
+                    raise ValueError(
+                        f'GRAPHDOT_UNION={env_union!r} is not a valid '
+                        "value: use 'auto'/'1'/'true' to enable, "
+                        "'0'/'false' to disable, or an integer >= 2 "
+                        'to force the pack factor.')
         if union == 'auto':
-            self._union = mode in ('pallas', 'edge')
+            self._union = mode in ('pallas', 'edge') and not buckets_off
             self._union_force_k = None
         elif union:
             self._union = True
@@ -153,7 +175,18 @@ class GramFactory:
 
         if self._bucketed:
             self._build_groups(classes, node_align, iu, ju)
-        else:
+            if not (bool(buckets) and len(classes) > 1) \
+                    and self._union_force_k is None \
+                    and all(g['k1'] == 1 and g['k2'] == 1
+                            for g in self._groups):
+                # union='auto' resolved to k=1 everywhere (e.g. large
+                # graph classes) and bucketing itself is not wanted:
+                # the grouped path would add per-class-pair programs
+                # with zero packing benefit — use the single batch
+                self._bucketed = False
+                self._groups = None
+                self._union = False
+        if not self._bucketed:
             self._groups = None
             self._onehots = {}
             n_pairs = len(iu)
@@ -370,6 +403,17 @@ class GramFactory:
     # public API
     # ------------------------------------------------------------------
 
+    def _group_maxiter(self, grp):
+        """Finite-termination iteration bound for one job group. For
+        union groups, CG on the packed system (dimension k1*ca*k2*cb)
+        sees the union of the member-pair spectra, so the exact-
+        arithmetic bound is the full packed dimension, not ca*cb
+        (ADVICE r4): slow super-pairs would otherwise be silently
+        preempted with the shortfall only visible via with_residual."""
+        return min(grp.get('k1', 1) * grp['ca']
+                   * grp.get('k2', 1) * grp['cb'],
+                   self._maxiter_cap)
+
     @property
     def n_active(self):
         return int(self._active.sum())
@@ -518,7 +562,7 @@ class GramFactory:
                 grp['batch1'], grp['batch2'],
                 grp['idx1'], grp['idx2'], grp.get('onehots', {}),
                 tol_n1=grp['tol_n1'], tol_n2=grp['tol_n2'])
-            maxiter = min(grp['ca'] * grp['cb'], self._maxiter_cap)
+            maxiter = self._group_maxiter(grp)
 
             def iters_fn(t, ops=ops, mi=maxiter):
                 return mlgk_solve(
@@ -577,9 +621,7 @@ class GramFactory:
                     grp['batch1'], grp['batch2'],
                     grp['idx1'], grp['idx2'], grp['onehots'],
                     tol_n1=grp['tol_n1'], tol_n2=grp['tol_n2'])
-                # member class dims bound the iterations: the union
-                # system is block-diagonal over member pairs
-                maxiter = min(grp['ca'] * grp['cb'], self._maxiter_cap)
+                maxiter = self._group_maxiter(grp)
                 tile = (grp['k1'], grp['ca'], grp['k2'], grp['cb'])
                 r = self._group_r(
                     theta, ops, grp['pfix1'], grp['pfix2'],

@@ -48,8 +48,14 @@ def _next_beta(log_like, beta, target_frac, n):
         return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), it + 1)
 
     full = ess_at(1.0) >= target
-    lo, hi, _ = jax.lax.while_loop(cond, body, (beta, 1.0, 0))
+    lo, hi, _ = jax.lax.while_loop(
+        cond, body, (jnp.float32(beta), jnp.float32(1.0), 0))
     return jnp.where(full, 1.0, lo)
+
+
+# beta/target_frac/n are traced arguments, so every tempering stage
+# shares one compiled bisection program
+_next_beta = jax.jit(_next_beta)
 
 
 def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
@@ -89,9 +95,15 @@ def smc_sample(log_prior, log_like, rng, n_particles=256, init=None,
             init, NamedSharding(mesh, PartitionSpec(particle_axis, None))
         )
 
-    v_log_like = jax.vmap(log_like)
+    v_log_like = jax.jit(jax.vmap(log_like))
     v_log_prior = jax.vmap(log_prior)
 
+    # ``beta`` and ``eps`` are traced arguments (NOT closed-over Python
+    # floats) and the whole mutation sweep is one jitted program: every
+    # tempering stage reuses a single compile instead of re-dispatching
+    # an eager vmap per stage — the dominant cost of an SMC run on
+    # expensive log-likes (e.g. GPR posteriors) before round 5
+    @jax.jit
     def mutate(rng, particles, beta, eps):
         """A few MCMC moves targeting prior * like^beta."""
 

@@ -101,6 +101,78 @@ class MaxiMin(MarginalizedGraphKernel):
         )
         return -d_ratio * (0.5 / (dh + self._grad_eps))[:, None]
 
+    def device_distance_fn(self, X, lmin=0):
+        """Fully on-device distance-matrix function over a fixed graph
+        set.
+
+        Returns ``(fn, theta0)``: ``fn(theta_log_active) -> [n, n]``
+        maximin distance matrix computed inside ONE jitted program —
+        all nodal pair solves at a single padded shape plus the masked
+        maximin reduction — and ``theta0``, the current log-scale
+        active hyperparameter vector.
+
+        This is the device core of :meth:`__call__` (which additionally
+        returns hotspots/gradients, handles rectangular X/Y, and
+        reduces per size-class on the host). Because it is a pure
+        traced function of theta it can be scanned, which is what
+        ``bench_maximin.py`` uses to time the device cost free of the
+        per-call dispatch latency (see ``util/timing.py``), and it
+        composes with ``jax.grad``-based inference loops.
+        """
+        import jax
+        import jax.numpy as jnp
+        from ...inference.gram import GramFactory
+        from ...kernel.marginalized._solver import mlgk_solve, \
+            weight_by_p
+
+        fac = GramFactory(self, list(X), normalize=False,
+                          buckets=False, union=False)
+        n = fac._n
+        iu, ju = fac._iu, fac._ju          # includes the diagonal jobs
+        iu_h, ju_h = np.asarray(iu), np.asarray(ju)
+        diag_pos = jnp.asarray(
+            np.flatnonzero(iu_h == ju_h).astype(np.int32))
+        node_mask = fac._batch['node_mask']
+        pf = fac._p_fixed
+        n_p = fac._n_p
+        maxiter = min(fac._n_pad ** 2, fac._maxiter_cap)
+
+        def fn(theta_log_active):
+            theta = fac.full_theta(theta_log_active)
+            ops = fac._group_ops(
+                fac._batch, fac._batch, iu, ju, fac._onehots)
+            x, _, _ = mlgk_solve(
+                theta, ops, knode=self.node_kernel,
+                kedge=self.edge_kernel, n_p_theta=n_p, lmin=lmin,
+                mode=fac._mode, maxiter=maxiter)
+            p1 = self.p.apply(
+                theta[:n_p], ops['node_mask_1'],
+                pf[iu] if pf is not None else None)
+            p2 = self.p.apply(
+                theta[:n_p], ops['node_mask_2'],
+                pf[ju] if pf is not None else None)
+            R = weight_by_p(x, p1, p2)                   # [P, a, a]
+            k_self = jnp.diagonal(
+                R[diag_pos], axis1=1, axis2=2)           # [n, a]
+            k1 = k_self[iu]
+            k2 = k_self[ju]
+            rows = node_mask[iu] > 0
+            cols = node_mask[ju] > 0
+            valid = rows[:, :, None] & cols[:, None, :]
+            ratio = R * jax.lax.rsqrt(
+                k1[:, :, None] * k2[:, None, :] + 1e-30)
+            D = jnp.sqrt(jnp.maximum(0.0, 1.0 - ratio))
+            Dm = jnp.where(valid, D, jnp.inf)
+            to_rows = jnp.where(
+                rows, Dm.min(axis=2), -jnp.inf).max(axis=1)
+            to_cols = jnp.where(
+                cols, Dm.min(axis=1), -jnp.inf).max(axis=1)
+            dh = jnp.maximum(to_rows, to_cols)
+            return (jnp.zeros((n, n), jnp.float32)
+                    .at[iu, ju].set(dh).at[ju, iu].set(dh))
+
+        return jax.jit(fn), jnp.asarray(fac.theta0, dtype=jnp.float32)
+
     def __call__(self, X, Y=None, eval_gradient=False, lmin=0,
                  return_hotspot=False, timing=False):
         """Computes the distance matrix, optionally the hotspot node-pair

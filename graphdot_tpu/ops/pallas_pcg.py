@@ -150,6 +150,28 @@ def _best_pack(P, M1, M2, N1, N2):
     return best_k
 
 
+def resolve_pack_params(P, M1, M2, N1, N2, pack='auto', interpret=False):
+    """Resolve the (pack factor k, block_pairs B, unroll) triple for the
+    VMEM-resident kernel, honoring the GRAPHDOT_PALLAS_PACK /
+    GRAPHDOT_PALLAS_BLOCK_PAIRS / GRAPHDOT_PALLAS_UNROLL env overrides.
+    The single source of truth shared by :func:`pallas_pcg_solver` and
+    the executed-FLOP model (``util.flops.gram_flop_report``), so
+    reported MXU-executed%% always reflects what actually ran."""
+    if pack == 'auto':
+        pack = os.environ.get('GRAPHDOT_PALLAS_PACK', 'auto')
+    max_block = int(os.environ.get(
+        'GRAPHDOT_PALLAS_BLOCK_PAIRS', _MAX_BLOCK_PAIRS))
+    unroll = int(os.environ.get('GRAPHDOT_PALLAS_UNROLL', _DEFAULT_UNROLL))
+    if pack == 'auto':
+        k = 1 if interpret else _best_pack(P, M1, M2, N1, N2)
+    else:
+        k = max(1, int(pack))
+    bpp = _bytes_per_pair(k * M1, k * M2, k * N1, k * N2)
+    B = int(max(1, min(max_block, -(-P // k),
+                       _VMEM_BUDGET // max(bpp, 1))))
+    return k, B, unroll
+
+
 def _cg_solve_values(T, ohs1, ohd1, ohs2, ohd2, diag, precond, b,
                      tol, maxiter, mode, unroll=1):
     """The batched VMEM-resident Jacobi-PCG loop on materialized values;
@@ -315,23 +337,8 @@ def pallas_pcg_solver(T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol,
             T, ohs1, ohd1, ohs2, ohd2, diag, precond, tol, maxiter,
             mode=mode, interpret=interpret
         )
-    if pack == 'auto':
-        # experiment hook: GRAPHDOT_PALLAS_PACK=<int> forces the factor
-        pack = os.environ.get('GRAPHDOT_PALLAS_PACK', 'auto')
-    # experiment hook: max pairs per Pallas program
-    max_block = int(os.environ.get(
-        'GRAPHDOT_PALLAS_BLOCK_PAIRS', _MAX_BLOCK_PAIRS))
-    # CG steps per while-loop trip (see _cg_solve_values); >1 trades a
-    # bounded amount of redundant masked arithmetic for fewer
-    # loop-control/convergence reductions
-    unroll = int(os.environ.get('GRAPHDOT_PALLAS_UNROLL', _DEFAULT_UNROLL))
-    if pack == 'auto':
-        k = 1 if interpret else _best_pack(P, M1, M2, N1, N2)
-    else:
-        k = max(1, int(pack))
-    bpp = _bytes_per_pair(k * M1, k * M2, k * N1, k * N2)
-    B = int(max(1, min(max_block, -(-P // k),
-                       _VMEM_BUDGET // max(bpp, 1))))
+    k, B, unroll = resolve_pack_params(
+        P, M1, M2, N1, N2, pack=pack, interpret=interpret)
     P_pad = -(-P // (k * B)) * (k * B)
 
     def _pad(a):

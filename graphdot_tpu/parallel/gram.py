@@ -68,8 +68,7 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
                 k1=grp['k1'], k2=grp['k2'],
                 ca=grp['ca'], cb=grp['cb'],
                 onehots=grp['onehots'],
-                maxiter=min(grp['ca'] * grp['cb'],
-                            factory._maxiter_cap),
+                maxiter=factory._group_maxiter(grp),
             )
             for grp in factory._groups
         ]
@@ -106,9 +105,14 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
                 .astype(np.int32)
             )
 
-        def _pad_tol(a):
+        def _pad_tol(a, fill):
+            # pad with the class node count so padded jobs (which
+            # re-solve job 0's system when one-hots are rebuilt
+            # in-trace) face a reachable tolerance — padding with 1.0
+            # would set an absolute tol of ~ftol that f32 CG cannot
+            # hit, stalling the shard at maxiter (ADVICE r4)
             return jnp.asarray(np.concatenate(
-                [a, np.ones(pad)]).astype(np.float32))
+                [a, np.full(pad, fill)]).astype(np.float32))
 
         # precomputed per-job one-hots shard along the job axis; padded
         # jobs get zero rows (their results are discarded below)
@@ -134,8 +138,8 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
         groups.append(dict(
             solver=solver, n_jobs=n_jobs,
             idx1=_pad_idx(grp['idx1']), idx2=_pad_idx(grp['idx2']),
-            tol_n1=_pad_tol(grp['tol_n1']),
-            tol_n2=_pad_tol(grp['tol_n2']),
+            tol_n1=_pad_tol(grp['tol_n1'], grp['ca']),
+            tol_n2=_pad_tol(grp['tol_n2'], grp['cb']),
             oh_args=oh_args,
             gi=jnp.asarray(gi.astype(np.int32)),
             gj=jnp.asarray(gj.astype(np.int32)),

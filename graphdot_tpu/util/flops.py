@@ -158,11 +158,9 @@ def gram_flop_report(factory, theta, include_executed=True,
                         worst = max(worst,
                                     pair_iters.get((int(a), int(b)), 1))
                 job_iters[s] = worst
-            k = PP._best_pack(S, M1, M2, N1, N2)
-            bpp = PP._bytes_per_pair(k * M1, k * M2, k * N1, k * N2)
-            B = int(max(1, min(PP._MAX_BLOCK_PAIRS, -(-S // k),
-                               PP._VMEM_BUDGET // max(bpp, 1))))
-            unroll = PP._DEFAULT_UNROLL
+            # shared resolution incl. env overrides, so the model
+            # matches what the solver actually ran (ADVICE r4)
+            k, B, unroll = PP.resolve_pack_params(S, M1, M2, N1, N2)
             per_iter = matvec_flops(k * M1, k * M2, k * N1, k * N2) \
                 * B * 2                       # 2-pass split-operand
             # jobs -> packed blocks of k -> programs of B; the whole

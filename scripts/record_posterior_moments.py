@@ -24,6 +24,8 @@ FIXTURE = os.path.join(ROOT, 'tests', 'fixtures',
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--slow', action='store_true')
+    ap.add_argument('--witness-only', action='store_true',
+                    help='record only the fast-tier witness moments')
     args = ap.parse_args()
 
     # mirror tests/conftest.py exactly: NUTS trajectories are
@@ -47,9 +49,10 @@ def main():
     # tests/test_qm7_parity.py — the recorded key encodes only
     # (source, n_mol, warmup, samples), so mismatched priors/moves
     # would regression-check against a different distribution
-    variants = [dict(n_mol=5, n_warmup=40, n_samples=40,
-                     n_particles=48, advi_steps=150, max_depth=4,
-                     prior_scale=1.0, smc_moves='hmc')]
+    variants = [] if args.witness_only else [
+        dict(n_mol=5, n_warmup=40, n_samples=40,
+             n_particles=48, advi_steps=150, max_depth=4,
+             prior_scale=1.0, smc_moves='hmc')]
     if args.slow:
         variants.append(dict(n_mol=8, n_warmup=80, n_samples=80,
                              n_particles=96, advi_steps=300,
@@ -59,6 +62,22 @@ def main():
     if os.path.exists(FIXTURE):
         with open(FIXTURE) as f:
             recorded = json.load(f)
+
+    # fast-tier witness moments (VERDICT r4 #3): short seeded NUTS +
+    # SMC runs; keep kwargs in lockstep with
+    # test_qm7_posterior_moments_witness
+    import time
+    t0 = time.perf_counter()
+    wit = T._posterior_witness(qm7)
+    print(f'witness run took {time.perf_counter() - t0:.1f} s')
+    recorded[wit['key']] = {
+        'mean_nuts': wit['mean_nuts'],
+        'sd_nuts': wit['sd_nuts'],
+        'mean_smc': wit['mean_smc'],
+        'source': source,
+    }
+    print(f'recorded {wit["key"]}: nuts={wit["mean_nuts"]} '
+          f'smc={wit["mean_smc"]}')
 
     for kw in variants:
         out = T._posterior_agreement(qm7, **kw)

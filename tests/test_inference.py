@@ -297,17 +297,17 @@ def test_gp_nuts_protein_scale_smoke():
     )
     from graphdot_tpu.testing import random_protein_set
 
-    graphs = random_protein_set(2, 4, (30, 45))
+    graphs = random_protein_set(2, 3, (24, 34))
     rng = np.random.default_rng(0)
     y = np.array([0.1 * len(g.nodes) + rng.normal() for g in graphs])
     kernel = MarginalizedGraphKernel(
         TensorProduct(element=KroneckerDelta(0.2)),
         TensorProduct(length=SquareExponential(3.0)), q=0.05)
     lp = GPRLogProb(kernel, graphs, y, alpha=1e-2, normalize_y=True)
-    out = sample(lp, jax.random.PRNGKey(0), n_chains=2, n_warmup=4,
-                 n_samples=3, init=jnp.asarray(lp.theta0, jnp.float32),
-                 max_depth=3, init_jitter=0.02)
+    out = sample(lp, jax.random.PRNGKey(0), n_chains=2, n_warmup=3,
+                 n_samples=2, init=jnp.asarray(lp.theta0, jnp.float32),
+                 max_depth=2, init_jitter=0.02)
     s = np.asarray(out['samples'])
-    assert s.shape == (2, 3, lp.n_dims)
+    assert s.shape == (2, 2, lp.n_dims)
     assert np.all(np.isfinite(s))
     assert np.all(np.isfinite(np.asarray(out['logp'])))

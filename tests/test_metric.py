@@ -70,6 +70,20 @@ def test_maximin_matches_brute_force():
     assert np.allclose(D, D.T, atol=1e-7)
 
 
+def test_maximin_device_fn_matches_host():
+    """The fully on-device pipeline (one jitted program: nodal solves
+    + masked maximin reduction) agrees with the host-orchestrated
+    path; it is what ``bench_maximin.py`` scan-slope times."""
+    G = _graphs()
+    kw = _kernel()
+    metric = MaxiMin(kw['node_kernel'], kw['edge_kernel'], q=kw['q'])
+    D = metric(G)
+    fn, theta0 = metric.device_distance_fn(G)
+    D_dev = np.asarray(fn(theta0))
+    assert np.allclose(D_dev, D, atol=5e-4)
+    assert np.allclose(D_dev, D_dev.T, atol=1e-7)
+
+
 def test_maximin_cross():
     G = _graphs()
     kw = _kernel()

@@ -435,12 +435,14 @@ def test_pallas_backend_matches_edge():
     assert np.allclose(Re, Rp, rtol=1e-5, atol=1e-7)
     assert np.allclose(dRe, dRp, rtol=1e-3, atol=1e-5)
 
-    # rectangular pairs via heterogeneous bucket classes
+    # rectangular pairs via heterogeneous bucket classes (sized for
+    # the <10-min fast tier: every extra size class compiles its own
+    # interpret-mode program on the 2-core CI host)
     from graphdot_tpu.inference import GramFactory
     from graphdot_tpu.testing import random_molecule_set
     import jax
     import jax.numpy as jnp
-    mols = random_molecule_set(11, 8, n_atoms_range=(5, 20))
+    mols = random_molecule_set(11, 6, n_atoms_range=(5, 14))
     knode = TensorProduct(element=KroneckerDelta(0.2))
     kedge = TensorProduct(length=SquareExponential(0.3))
     fe = GramFactory(MarginalizedGraphKernel(knode, kedge, q=0.05,
