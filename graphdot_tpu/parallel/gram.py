@@ -45,6 +45,11 @@ def sharded_gram_fn(factory, mesh, axis=None, lmin=0):
     axis: None | str | tuple of str
         Mesh axes to shard the job list over. None uses every axis.
     """
+    if getattr(factory, '_two', False):
+        raise NotImplementedError(
+            'sharded_gram_fn supports symmetric factories only; shard '
+            'a rectangular cross-Gram by splitting the row graphs '
+            'across factories instead.')
     n = factory._n
     if axis is None:
         axis = tuple(mesh.axis_names)

@@ -103,6 +103,9 @@ def gram_flop_report(factory, theta, include_executed=True,
     """
     if stats is None:
         stats = factory.iteration_stats(theta)
+    if getattr(factory, '_two', False):
+        raise NotImplementedError(
+            'gram_flop_report supports symmetric factories only')
     dims = [graph_dims(g) for g in factory.graphs]
 
     def _2d(a):
