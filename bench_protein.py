@@ -29,7 +29,7 @@ import numpy as np
 
 
 def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
-                reps=5):
+                reps=5, graphs=None):
     import jax
     import jax.numpy as jnp
 
@@ -37,8 +37,9 @@ def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
     from graphdot_tpu.testing import random_protein_set
     from graphdot_tpu.util.flops import device_peak_flops
 
-    graphs = random_protein_set(seed, n_graphs,
-                                n_residues_range=rng_range)
+    if graphs is None:
+        graphs = random_protein_set(seed, n_graphs,
+                                    n_residues_range=rng_range)
     n_pairs = n_graphs * (n_graphs + 1) // 2
     kernel = kernel_factory()
     factory = GramFactory(kernel, graphs, normalize=True,
@@ -69,7 +70,8 @@ def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
         # the kron FLOP model applies only when the auto-switch routes
         # this class to the kron solver (see _solver.mlgk_solve)
         if mode == 'pallas' and os.environ.get('GRAPHDOT_KRON') != '0' \
-                and npad2 * npad2 > kron_min:
+                and npad2 * npad2 > kron_min \
+                and factory._kron_ranks != 'off':
             from graphdot_tpu.kernel.marginalized._kron import \
                 DEFAULT_RANK
             stats = factory.iteration_stats(theta0, mode='kron')
@@ -79,7 +81,11 @@ def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
             sizes = np.array([len(g.nodes) for g in graphs])
             iu, ju = np.triu_indices(n_graphs)
             useful = executed = 0.0
-            R = DEFAULT_RANK
+            # the factory auto-calibrates the Chebyshev rank
+            # (factorization_error-driven; VERDICT r4 #4)
+            ranks = factory._kron_ranks
+            R = (int(np.prod(ranks)) if isinstance(ranks, tuple)
+                 else int(ranks or DEFAULT_RANK))
             npad = grp['ca']
             for a, b, it in zip(iu, ju, iters):
                 na, nb = sizes[a], sizes[b]
@@ -144,7 +150,59 @@ def main():
                          'error': f'{type(e).__name__}: {e}'[:200]})
         print(f'# {json.dumps(rows[-1])}', file=sys.stderr)
 
-    done = [r for r in rows if 'error' not in r]
+    # VERDICT r4 #7: the streaming kernel's exclusive niche — beyond-
+    # VMEM pairs whose edge kernel the Chebyshev factorization cannot
+    # approximate (a categorical contact-type KroneckerDelta factor:
+    # rank calibration rejects it and auto-selection falls back to the
+    # streaming Pallas PCG). A/B'd against the pure-XLA edge solver on
+    # the same graphs; run with GRAPHDOT_PROTEIN_NICHE=0 to skip.
+    if os.environ.get('GRAPHDOT_PROTEIN_NICHE', '1') != '0' \
+            and not os.environ.get('GRAPHDOT_PROTEIN_SMALL_ONLY'):
+        import numpy as _np
+        import warnings
+        from graphdot_tpu.graph import Graph
+        from graphdot_tpu.testing import random_protein_set
+
+        base = random_protein_set(13, 6, n_residues_range=(250, 350))
+        niche_graphs = []
+        for g in base:
+            e = g.edges
+            ctype = _np.minimum(
+                _np.abs(_np.asarray(e['!i'])
+                        - _np.asarray(e['!j'])) // 6, 2
+            ).astype(_np.float32)
+            niche_graphs.append(Graph(
+                nodes=g.nodes,
+                edges={'!i': e['!i'], '!j': e['!j'], '!w': e['!w'],
+                       'length': e['length'], 'ctype': ctype},
+                title=g.title))
+        niche_graphs = Graph.unify_datatype(niche_graphs)
+
+        def niche_factory(be):
+            def make():
+                return MarginalizedGraphKernel(
+                    TensorProduct(element=KroneckerDelta(0.2)),
+                    TensorProduct(length=SquareExponential(3.0),
+                                  ctype=KroneckerDelta(0.3)),
+                    q=0.05, backend=be,
+                )
+            return make
+
+        for be in ('pallas', 'edge'):
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter('ignore')
+                    rows.append(bench_class(
+                        f'niche-250-350res-cat-edge[{be}]', 13, 6,
+                        None, niche_factory(be), graphs=niche_graphs))
+            except Exception as e:                  # noqa: BLE001
+                rows.append({
+                    'label': f'niche-250-350res-cat-edge[{be}]',
+                    'error': f'{type(e).__name__}: {e}'[:200]})
+            print(f'# {json.dumps(rows[-1])}', file=sys.stderr)
+
+    done = [r for r in rows if 'error' not in r
+            and not r['label'].startswith('niche')]
     head = done[-1] if done else {
         'label': 'none', 'pairs_per_sec': None, 'n1n2_max': 0}
     print(json.dumps({

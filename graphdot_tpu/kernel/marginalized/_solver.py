@@ -213,7 +213,8 @@ def solve_linear(matvec, b, precond, tol, maxiter, solve_impl=None):
 
 
 def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
-               maxiter, return_resnorm=False, return_iters=False):
+               maxiter, kron_ranks=None, return_resnorm=False,
+               return_iters=False):
     """Solve a batch of graph-pair MLGK systems.
 
     Parameters
@@ -309,14 +310,16 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
                 use_kron = (
                     os.environ.get('GRAPHDOT_KRON', '1') != '0'
                     and not os.environ.get('GRAPHDOT_PALLAS_STREAM')
+                    # 'off': rank calibration found the edge kernel
+                    # too sharp for the factorization's accuracy
+                    # contract (GramFactory auto-calibration)
+                    and kron_ranks != 'off'
                     and kron_eligible(ops)
                     and (n1 * n2 > kron_min or not stream_ok)
                 )
 
     if use_kron:
         from ._kron import kron_mlgk_solve
-        raw_eef1 = ops['edge_elist_feats_1']
-        (feats_name,) = raw_eef1.keys()
         if 'tol_n1' in ops:
             n_true = ops['tol_n1'] * ops['tol_n2']
         else:
@@ -326,14 +329,14 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
             'ew_1': ops['ew_1'],
             'esrc_2': ops['esrc_2'], 'edst_2': ops['edst_2'],
             'ew_2': ops['ew_2'],
-            'x_1': raw_eef1[feats_name],
-            'x_2': ops['edge_elist_feats_2'][feats_name],
+            'feats_1': dict(ops['edge_elist_feats_1']),
+            'feats_2': dict(ops['edge_elist_feats_2']),
             'diag': diag_coef, 'precond': precond_diag, 'b': b,
             'tol': ops['ftol'] * n_true,
         }
         out = kron_mlgk_solve(
             theta_ops, apply_on_features=_apply_on_features,
-            kedge=kedge, te=te, feats_name=feats_name,
+            kedge=kedge, te=te, ranks=kron_ranks,
             maxiter=maxiter, solve_linear=solve_linear,
             return_resnorm=return_resnorm,
             return_iters=return_iters,
@@ -435,8 +438,9 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
     if mode == 'pallas':
         # primal/tangent solves run in the fused VMEM-resident kernel;
         # the XLA matvec above is still what autodiff differentiates.
+        import os
         from ...ops.pallas_pcg import pallas_pcg_solver
-        pmode = {
+        pmode = os.environ.get('GRAPHDOT_PALLAS_MODE') or {
             lax.Precision.DEFAULT: 'default',
             lax.Precision.HIGH: 'split2',
             lax.Precision.HIGHEST: 'highest',

@@ -147,13 +147,16 @@ def _from_sympy(name, desc, expr, vars, *hyperparameter_specs,
             return cls._jac_cached
 
         def __call__(self, x1, x2, jac=False):
+            # read the raw values, not the pretty `theta` tree: this
+            # runs per product-graph entry in host-side oracles
+            tv = tuple(self._theta_values.values())
             if jac is True:
                 return (
-                    self._fun(x1, x2, *self.theta),
-                    np.array([j(x1, x2, *self.theta) for j in self._jac])
+                    self._fun(x1, x2, *tv),
+                    np.array([j(x1, x2, *tv) for j in self._jac])
                 )
             else:
-                return self._fun(x1, x2, *self.theta)
+                return self._fun(x1, x2, *tv)
 
         def __repr__(self):
             theta = ', '.join(

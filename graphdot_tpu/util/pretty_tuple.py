@@ -3,11 +3,22 @@
 API parity with the reference ``graphdot/util/pretty_tuple.py:7`` — used to
 expose hierarchical hyperparameter trees such as ``kernel.theta``.
 """
+import functools
 from collections import namedtuple
 
 
 def pretty_tuple(name, fields):
-    """Create a namedtuple subclass with a hierarchical repr."""
+    """Create a namedtuple subclass with a hierarchical repr.
+
+    The class is cached per (name, fields): hot host-side paths (e.g.
+    the dense test oracle evaluating a sympy microkernel per product-
+    graph entry) read ``kernel.theta`` per call, and creating a fresh
+    namedtuple class each time dominated their runtime."""
+    return _pretty_tuple_cls(name, tuple(fields))
+
+
+@functools.lru_cache(maxsize=None)
+def _pretty_tuple_cls(name, fields):
 
     class PrettyTuple(namedtuple(name, fields)):
 
