@@ -151,11 +151,15 @@ def main():
         print(f'# {json.dumps(rows[-1])}', file=sys.stderr)
 
     # VERDICT r4 #7: the streaming kernel's exclusive niche — beyond-
-    # VMEM pairs whose edge kernel the Chebyshev factorization cannot
-    # approximate (a categorical contact-type KroneckerDelta factor:
-    # rank calibration rejects it and auto-selection falls back to the
-    # streaming Pallas PCG). A/B'd against the pure-XLA edge solver on
-    # the same graphs; run with GRAPHDOT_PROTEIN_NICHE=0 to skip.
+    # RESIDENT-VMEM pairs whose edge kernel the Chebyshev factorization
+    # cannot approximate (a categorical contact-type KroneckerDelta
+    # factor: rank calibration rejects it and auto-selection falls back
+    # to the streaming Pallas PCG). A/B'd against the pure-XLA edge
+    # solver on the same graphs; GRAPHDOT_PROTEIN_NICHE=0 skips. Sized
+    # 180-280 residues: past ~300 residues even the streaming kernel's
+    # VMEM-resident part (one-hots + CG state) overflows the 100 MB
+    # scoped limit and the solver already falls back to XLA edge, so
+    # the niche itself is bounded.
     if os.environ.get('GRAPHDOT_PROTEIN_NICHE', '1') != '0' \
             and not os.environ.get('GRAPHDOT_PROTEIN_SMALL_ONLY'):
         import numpy as _np
@@ -163,7 +167,7 @@ def main():
         from graphdot_tpu.graph import Graph
         from graphdot_tpu.testing import random_protein_set
 
-        base = random_protein_set(13, 6, n_residues_range=(250, 350))
+        base = random_protein_set(13, 6, n_residues_range=(180, 280))
         niche_graphs = []
         for g in base:
             e = g.edges
@@ -193,7 +197,7 @@ def main():
                 with warnings.catch_warnings():
                     warnings.simplefilter('ignore')
                     rows.append(bench_class(
-                        f'niche-250-350res-cat-edge[{be}]', 13, 6,
+                        f'niche-180-280res-cat-edge[{be}]', 13, 6,
                         None, niche_factory(be), graphs=niche_graphs))
             except Exception as e:                  # noqa: BLE001
                 rows.append({

@@ -27,6 +27,11 @@ from ..util.iterable import flatten
 
 # total device bytes allowed for precomputed incidence one-hots
 _ONEHOT_BUDGET = 1 << 29
+# per-job one-hot element cap: precomputing pays only at molecule
+# scale (it trims theta-sweep setup); at protein scale the solve
+# dominates and the big captured constants can exceed the remote
+# compiler's request-size limit (HTTP 413 through the dev tunnel)
+_ONEHOT_JOB_ELEMS = 1 << 17
 
 
 def _np_one_hot(indices, depth):
@@ -253,7 +258,10 @@ class GramFactory:
                 m_pad2 = batch2.esrc.shape[1]
                 cost = 4 * 2 * n_pairs * (
                     m_pad * self._n_pad + m_pad2 * self._n_pad2)
-                if cost < _ONEHOT_BUDGET:
+                small_jobs = max(m_pad * self._n_pad,
+                                 m_pad2 * self._n_pad2) \
+                    <= _ONEHOT_JOB_ELEMS
+                if cost < _ONEHOT_BUDGET and small_jobs:
                     # numpy, not eager jnp: the one-hots are static, and
                     # building them op-by-op through a remote-device
                     # tunnel costs ~0.4 s per dispatched op
@@ -541,7 +549,13 @@ class GramFactory:
                 demands[(ca, cb)] = 4 * 2 * s * (
                     ma['k'] ** 2 * ma['mk'] * ca
                     + mb['k'] ** 2 * mb['mk'] * cb)
-        within_budget = sum(demands.values()) < _ONEHOT_BUDGET
+        small_jobs = all(
+            max(mm['k'] ** 2 * mm['mk'] * ck
+                for mm, ck in ((meta[ca], ca), (meta2[cb], cb)))
+            <= _ONEHOT_JOB_ELEMS
+            for ca, cb in pairs) if self._mode != 'dense' else True
+        within_budget = (sum(demands.values()) < _ONEHOT_BUDGET
+                         and small_jobs)
 
         self._groups = []
         for ca, cb in pairs:

@@ -657,10 +657,14 @@ def _pcg_stream_kernel(T_hbm, ohs1_ref, ohd1_ref, ohs2_ref, ohd2_ref,
     x_ref[0] = x
 
 
-# the streaming kernel is sized against (nearly) the full 100 MB scoped
-# VMEM: unlike the resident kernel it runs one big pair per program, so
-# there is no block_pairs knob to absorb estimate error — leave ~12%.
-_STREAM_BUDGET = 88 << 20
+# the streaming kernel is sized against the 100 MB scoped VMEM: unlike
+# the resident kernel it runs one big pair per program, so there is no
+# block_pairs knob to absorb estimate error. Leave ~28% headroom: at
+# M ~ 5k, N ~ 344 (the categorical-edge niche class) the compiler's
+# actual stack allocation ran ~18 MB above the _stream_bytes model
+# (while-carry duplication + matvec temporaries), OOMing the 88 MB
+# budget that molecule/150-300res shapes tolerated.
+_STREAM_BUDGET = 72 << 20
 
 
 def _stream_bytes(M1, M2, N1, N2, tile_m):

@@ -170,7 +170,7 @@ def test_gp_nuts_short_chain(gp_problem):
     lp = GPRLogProb(kernel, graphs, y, alpha=1e-2)
     out = sample(
         lp, jax.random.PRNGKey(0), n_chains=2, n_warmup=40,
-        n_samples=30, init=jnp.asarray(lp.theta0, dtype=jnp.float32),
+        n_samples=16, init=jnp.asarray(lp.theta0, dtype=jnp.float32),
         max_depth=5, init_jitter=0.1
     )
     s = np.asarray(out['samples'])

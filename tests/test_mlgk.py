@@ -731,7 +731,7 @@ def test_kron_rank_calibration():
             _apply_on_features, kdelta,
             jnp.asarray([0.5], jnp.float32),
             {'length': jnp.round(x1)}, w, {'length': jnp.round(x2)},
-            w)
+            w, candidates=(8, 16))
     assert err_d > 1e-4
 
 

@@ -188,7 +188,7 @@ def _posterior_agreement(qm7, *, n_mol, n_warmup, n_samples,
             'se': se.tolist()}
 
 
-def _posterior_witness(qm7, n_mol=5, n_warmup=24, n_samples=24,
+def _posterior_witness(qm7, n_mol=5, n_warmup=16, n_samples=16,
                        n_particles=16, max_depth=3, prior_scale=1.0,
                        n_leapfrog=4, loop='auto'):
     """Shared body of the fast-tier posterior witness: one short seeded
