@@ -65,7 +65,7 @@ def bench_class(label, seed, n_graphs, rng_range, kernel_factory,
     n1n2_max = max(len(g.nodes) for g in graphs) ** 2
     try:
         mode = factory.kernel.backend.mode
-        kron_min = int(os.environ.get('GRAPHDOT_KRON_MIN_N', 120_000))
+        kron_min = int(os.environ.get('GRAPHDOT_KRON_MIN_N', 0))
         npad2 = max(len(g.nodes) for g in graphs)
         # the kron FLOP model applies only when the auto-switch routes
         # this class to the kron solver (see _solver.mlgk_solve)

@@ -157,6 +157,31 @@ def _normalize_ranks(ranks, names):
     return ranks
 
 
+def _outer_basis(Ls):
+    """Tensor-product combination of per-feature basis values."""
+    L = Ls[0]
+    for Lf in Ls[1:]:
+        L = L[..., :, None] * Lf[..., None, :]
+        L = L.reshape(*L.shape[:-2], -1)
+    return L
+
+
+def _grid_axes(feats1, feats2, ew1, ew2, ranks):
+    """Per-feature Chebyshev nodes/weights over the joint data domain,
+    plus the flattened tensor-grid coordinate dict (first sorted
+    feature outermost)."""
+    names = sorted(feats1)
+    axes = {}
+    for name, R in zip(names, ranks):
+        lo, hi = _feature_domain(feats1[name], ew1, feats2[name], ew2)
+        t, w = _cheb_nodes(lo, hi, R)
+        axes[name] = (lo, hi, t, w)
+    ts = [axes[n][2] for n in names]
+    mesh = jnp.meshgrid(*ts, indexing='ij') if len(ts) > 1 else ts
+    grids = {name: g.reshape(-1) for name, g in zip(names, mesh)}
+    return axes, grids
+
+
 def _grid_basis(feats1, feats2, ew1, ew2, ranks):
     """Tensor-grid Chebyshev basis over the (name-sorted) scalar
     feature columns of both sides.
@@ -165,31 +190,49 @@ def _grid_basis(feats1, feats2, ew1, ew2, ranks):
     grid coordinates), with Rg the product of per-feature ranks and the
     grid ordered with the first (sorted) feature outermost."""
     names = sorted(feats1)
-    Ls1, Ls2, axes = [], [], []
-    for name, R in zip(names, ranks):
-        x1, x2 = feats1[name], feats2[name]
-        lo, hi = _feature_domain(x1, ew1, x2, ew2)
-        t, w = _cheb_nodes(lo, hi, R)
+    axes, grids = _grid_axes(feats1, feats2, ew1, ew2, ranks)
+    Ls1, Ls2 = [], []
+    for name in names:
+        lo, hi, t, w = axes[name]
         # clamp into the interpolation domain before evaluating the
         # basis: padding edges carry feature 0, which can sit far
         # OUTSIDE [lo, hi], where the barycentric denominator suffers
         # catastrophic cancellation (inf/NaN that even the ew = 0
         # weight cannot kill, since NaN * 0 = NaN). Real features lie
         # inside by construction, so the clamp is the identity there.
-        Ls1.append(_cheb_basis(jnp.clip(x1, lo, hi), t, w))
-        Ls2.append(_cheb_basis(jnp.clip(x2, lo, hi), t, w))
-        axes.append(t)
+        Ls1.append(_cheb_basis(
+            jnp.clip(feats1[name], lo, hi), t, w))
+        Ls2.append(_cheb_basis(
+            jnp.clip(feats2[name], lo, hi), t, w))
+    return _outer_basis(Ls1), _outer_basis(Ls2), grids
 
-    def outer(Ls):
-        L = Ls[0]
-        for Lf in Ls[1:]:
-            L = L[..., :, None] * Lf[..., None, :]
-            L = L.reshape(*L.shape[:-2], -1)
-        return L
 
-    mesh = jnp.meshgrid(*axes, indexing='ij') if len(axes) > 1 else axes
-    grids = {name: g.reshape(-1) for name, g in zip(names, mesh)}
-    return outer(Ls1), outer(Ls2), grids
+def _dense_grid_values(esrc, edst, ew, xcols, n_pad, names, axes):
+    """Weighted tensor-grid basis values on the dense (i, j) node grid:
+    [c, n_pad^2, Rg] with entry w_e * L(x_e) at each edge's (i, j) slot
+    and 0 elsewhere.
+
+    Two cheap [c, M]-update scatters (the edge weights, and each scalar
+    feature) replace the [c, M, Rg] float scatter-add of the stacked
+    factors — which measured ~26 ms per side per build on the
+    400-600res class (TPU scatter-add serializes badly) — and the basis
+    is then evaluated DENSELY on the grid, which is pure vectorized VPU
+    work. Assumes at most one directed edge per (i, j) (the Graph
+    contract); padding edges (w == 0) are parked in a trash slot."""
+    c, M = esrc.shape
+    flat = jnp.where(ew != 0, esrc * n_pad + edst, n_pad * n_pad)
+    ci = jnp.arange(c)[:, None]
+    Wg = jnp.zeros((c, n_pad * n_pad + 1), dtype=jnp.float32
+                   ).at[ci, flat].add(ew)[:, :-1]
+    Ls = []
+    for f, name in enumerate(names):
+        lo, hi, t, w = axes[name]
+        Xg = jnp.zeros((c, n_pad * n_pad + 1), dtype=jnp.float32
+                       ).at[ci, flat].set(xcols[:, :, f])[:, :-1]
+        # empty slots hold 0 -> clamp to the domain so the barycentric
+        # denominator stays finite (Wg = 0 kills their contribution)
+        Ls.append(_cheb_basis(jnp.clip(Xg, lo, hi), t, w))
+    return _outer_basis(Ls) * Wg[..., None]
 
 
 def _edge_kernel_grid(apply_on_features, kedge, te, grids):
@@ -212,31 +255,6 @@ def _assemble_stack(esrc, edst, ew, L, n_pad):
     return A.at[ci, ri, esrc[:, None, :], edst[:, None, :]].add(vals)
 
 
-def _assemble_rows_1(esrc, edst, ew, L, n_pad):
-    """Side-1 stacked factor A1s [c, n_pad*R, n_pad] with rows ordered
-    (node i, rank r): A1s[i*R + r, j] = A_r[i, j]. This layout makes
-    ``(A1s @ Y).reshape(c, n1, R*n2)`` exactly the rank-in-columns view
-    the second fused matmul contracts over."""
-    c, M, R = L.shape
-    A = jnp.zeros((c, n_pad * R, n_pad), dtype=jnp.float32)
-    vals = ew[:, :, None] * L                          # [c, M, R]
-    ci = jnp.arange(c)[:, None, None]
-    rows = esrc[:, :, None] * R + jnp.arange(R)[None, None, :]
-    return A.at[ci, rows, edst[:, :, None]].add(vals)
-
-
-def _assemble_rows_2(esrc, edst, ew, L, n_pad):
-    """Side-2 stacked factor B2s [c, R*n_pad, n_pad] with rows ordered
-    (rank r, dst node k) and columns the src node l:
-    B2s[r*n_pad + k, l] = B_r[l, k] — i.e. the (transposed) factor the
-    fused contraction ``sum_{r,k} G'[i, (r,k)] B2s[(r,k), l]``
-    consumes. ``L`` here is the C-folded side-2 basis."""
-    c, M, R = L.shape
-    B = jnp.zeros((c, R * n_pad, n_pad), dtype=jnp.float32)
-    vals = ew[:, :, None] * L                          # [c, M, R]
-    ci = jnp.arange(c)[:, None, None]
-    rows = jnp.arange(R)[None, None, :] * n_pad + edst[:, :, None]
-    return B.at[ci, rows, esrc[:, :, None]].add(vals)
 
 
 def factorization_error(apply_on_features, kedge, te, feats_1, ew1,
@@ -392,8 +410,18 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
         chunk = -(-P // (-(-P // chunk)))
     P_pad = -(-P // chunk) * chunk
 
-    L1, L2, grids = _grid_basis(feats_1, feats_2, ew1, ew2, ranks)
+    axes, grids = _grid_axes(feats_1, feats_2, ew1, ew2, ranks)
     C = _edge_kernel_grid(apply_on_features, kedge, te, grids)
+    if fused:
+        # the fused path evaluates the basis densely on the (i, j)
+        # grid (see _dense_grid_values); it consumes the raw feature
+        # columns, not per-edge basis values
+        x1s = jnp.stack([feats_1[n] for n in names], axis=-1)
+        x2s = jnp.stack([feats_2[n] for n in names], axis=-1)
+        side1, side2 = x1s, x2s
+    else:
+        L1, L2, _ = _grid_basis(feats_1, feats_2, ew1, ew2, ranks)
+        side1, side2 = L1, L2
 
     def _pad(a, fill=0.0):
         return jnp.concatenate(
@@ -405,21 +433,13 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
 
     ops_c = [
         _chunks(_pad(a)) for a in
-        (esrc1, edst1, ew1, L1, esrc2, edst2, ew2, L2,
+        (esrc1, edst1, ew1, side1, esrc2, edst2, ew2, side2,
          diag, precond, b)
     ]
     tol_c = _chunks(_pad(tol, fill=1.0))
 
     def solve_chunk(args):
         (es1, ed1, w1, l1, es2, ed2, w2, l2, dg, pc, bb), tl = args
-        # fold the theta-dependent grid kernel into the side-2 BASIS
-        # before scattering: B2_p = sum_q C_pq A2_q assembled directly
-        # (a [c, M, R] @ [R, R] matmul pre-scatter), so no R-broadcast
-        # contraction over a [c, R, n2, n2] stack is ever emitted —
-        # XLA's remote TPU compiler crashes on broadcast-batched
-        # dot_generals at these shapes.
-        l2c = jnp.einsum('cmq,pq->cmp', l2, C,
-                         precision=lax.Precision.HIGHEST)
 
         dgf = dg.reshape(chunk, n1 * n2)
         pcf = pc.reshape(chunk, n1 * n2)
@@ -431,9 +451,28 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
         if fused:
             # rank sum fused into two standard batched matmuls via the
             # row-stacked factor layouts (see module docstring): one
-            # contraction of depth n1, one of depth R*n2.
-            A1s = _assemble_rows_1(es1, ed1, w1, l1, n1)
-            B2s = _assemble_rows_2(es2, ed2, w2, l2c, n2)
+            # contraction of depth n1, one of depth R*n2. The factors
+            # come from dense-grid basis evaluation; the
+            # theta-dependent grid kernel C folds into side 2 with ONE
+            # flat [c*n2^2, R] x [R, R] matmul (no broadcast-batched
+            # dot_general — the remote XLA compiler crashes on those).
+            V1 = _dense_grid_values(es1, ed1, w1, l1, n1, names, axes)
+            A1s = jnp.transpose(
+                V1.reshape(chunk, n1, n1, R), (0, 1, 3, 2)
+            ).reshape(chunk, n1 * R, n1)
+            V2 = _dense_grid_values(es2, ed2, w2, l2, n2, names, axes)
+            V2f = jnp.matmul(
+                V2.reshape(chunk * n2 * n2, R), C.T,
+                precision=lax.Precision.HIGHEST)
+            B2s = jnp.transpose(
+                V2f.reshape(chunk, n2, n2, R), (0, 3, 2, 1)
+            ).reshape(chunk, R * n2, n2)
+            # materialize the (transposed) factors once, outside the
+            # CG while-loop: without the barrier XLA fuses the
+            # transposes into the loop body and the matvec re-lays
+            # them out every iteration (measured: per-iteration cost
+            # doubled)
+            A1s, B2s = lax.optimization_barrier((A1s, B2s))
 
             def matvec(yf):
                 Y = yf.reshape(chunk, n1, n2)
@@ -450,7 +489,10 @@ def kron_mlgk_solve(theta_ops, *, apply_on_features, kedge, te,
         else:
             # sequential rank loop (kept for A/B and as a compiler
             # fallback): a static Python loop of standard batched
-            # matmuls, per-term intermediate [c, n1, n2]
+            # matmuls, per-term intermediate [c, n1, n2]; the grid
+            # kernel folds into the per-edge side-2 basis pre-scatter
+            l2c = jnp.einsum('cmq,pq->cmp', l2, C,
+                             precision=lax.Precision.HIGHEST)
             A1 = _assemble_stack(es1, ed1, w1, l1, n1)
             B2 = _assemble_stack(es2, ed2, w2, l2c, n2)
 

@@ -286,14 +286,15 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
         elif mode == 'pallas':
             # auto-switch: pairs beyond the VMEM-resident kernel's
             # working set (protein scale) take the sum-of-Kronecker
-            # node-space path when the edge features allow it AND the
-            # product space is large enough that it wins: measured on
-            # v5e contact maps, the streaming Pallas kernel is faster
-            # up to ~300 residues (n1*n2 ~ 9e4; T still small enough
-            # that HBM re-reads beat R=32 dense matmuls) while kron is
-            # ~100x faster by 500+ residues where T reaches GBs. Kron
-            # also takes over whenever streaming is infeasible (its
-            # VMEM-resident part overflows).
+            # node-space path whenever the edge features allow it and
+            # rank calibration meets the accuracy contract. Measured
+            # on v5e contact maps with the fused dense-grid assembly
+            # (round 5): kron wins the ENTIRE beyond-resident range —
+            # 1715 pairs/s vs streaming's 400 at 150-300 residues,
+            # 4-5x at 400-1000 residues — so the old n1*n2 crossover
+            # (round 4's 1.2e5, when assembly cost dominated small
+            # classes) defaults to 0. The streaming kernel remains the
+            # fallback for kron-ineligible/inaccurate edge kernels.
             import os
             from ...ops.pallas_pcg import (
                 _RESIDENT_PAIR_LIMIT, _bytes_per_pair, _pick_tile_m
@@ -306,7 +307,7 @@ def mlgk_solve(theta, ops, *, knode, kedge, n_p_theta, lmin, mode,
                 stream_ok = _pick_tile_m(
                     M1e, -(-M2e // 128) * 128, n1, n2) is not None
                 kron_min = int(os.environ.get(
-                    'GRAPHDOT_KRON_MIN_N', 120_000))
+                    'GRAPHDOT_KRON_MIN_N', 0))
                 use_kron = (
                     os.environ.get('GRAPHDOT_KRON', '1') != '0'
                     and not os.environ.get('GRAPHDOT_PALLAS_STREAM')

@@ -95,12 +95,19 @@ def main():
         results[name] = rec
         print(json.dumps(rec, indent=2), flush=True)
 
+    # one entry per round; re-running within a round merges by bench
+    # name (so --only refreshes a single row without dropping the
+    # others) with the new results taking precedence
+    merged = {}
+    for e in trend:
+        if e['round'] == rnd:
+            merged.update(e['results'])
+    merged.update(results)
     entry = {
         'round': rnd,
         'timestamp': time.strftime('%Y-%m-%dT%H:%M:%S'),
-        'results': results,
+        'results': merged,
     }
-    # one entry per round: re-running within a round replaces it
     trend = [e for e in trend if e['round'] != rnd] + [entry]
     trend.sort(key=lambda e: e['round'])
     with open(TREND, 'w') as f:
